@@ -1,0 +1,366 @@
+"""Fixed-shape, fully-jittable pillarization.
+
+TPU-native replacement for the reference's sequential numba voxelizer
+(`points_to_voxel` + `_points_to_voxel_reverse_kernel`,
+reference: utils/point_cloud_ops.py:7-167).  The reference builds a dynamic
+number of pillars on the host with a full-grid dedup map; XLA requires static
+shapes, so here every output is padded to (`max_voxels`, `max_points`) with an
+explicit validity mask — semantically identical for the model, which already
+masks padding (reference: modules/pointpillars.py:135-140).
+
+Two paths are provided:
+
+1. `pillarize` — reference-API-compatible: returns (voxels, coors, num_points)
+   with the reference's semantics: zyx coordinate order, pillars ordered by
+   first occurrence of their cell in the point stream, at most `max_points`
+   points kept per pillar (in point order), at most `max_voxels` pillars kept
+   (earliest-created first).
+   (Known deliberate difference: when a scan produces more than `max_voxels`
+   distinct cells the reference *breaks* its loop and silently drops every
+   remaining point, even points of already-created pillars
+   (utils/point_cloud_ops.py:43-45); we instead keep all points of the
+   `max_voxels` earliest-created pillars — strictly more data, same shapes.)
+
+2. `decorate_points` + `count_and_rank` — the building blocks of the fused
+   serving path: per-point decoration over the flat (N, F) cloud so the PFN
+   linear layer becomes one large MXU matmul followed by a masked segment-max
+   straight into the pseudo-image canvas, skipping the (max_voxels, max_points)
+   intermediate entirely.
+
+All functions are shape-polymorphic in N and jit-friendly (no data-dependent
+control flow).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class PillarGeometry(NamedTuple):
+    """Static grid geometry (hashable; safe to close over in jit)."""
+
+    pc_range: tuple          # (xmin, ymin, zmin, xmax, ymax, zmax)
+    voxel_size: tuple        # (vx, vy, vz)
+    grid_size: tuple         # (nx, ny, nz)
+
+    @classmethod
+    def from_config(cls, cfg) -> "PillarGeometry":
+        return cls(tuple(cfg.pc_range), tuple(cfg.voxel_size), tuple(cfg.grid_size))
+
+    @property
+    def nx(self):
+        return self.grid_size[0]
+
+    @property
+    def ny(self):
+        return self.grid_size[1]
+
+    @property
+    def nz(self):
+        return self.grid_size[2]
+
+    @property
+    def num_cells_3d(self):
+        return self.nx * self.ny * self.nz
+
+    @property
+    def num_cells_2d(self):
+        return self.nx * self.ny
+
+
+class PillarBatch(NamedTuple):
+    """Fixed-shape pillarization result (single scan)."""
+
+    voxels: jax.Array       # (max_voxels, max_points, F) float
+    coors: jax.Array        # (max_voxels, 3) int32, zyx order (reverse_index)
+    num_points: jax.Array   # (max_voxels,) int32, min(cell population, max_points)
+    mask: jax.Array         # (max_voxels,) bool, True for real pillars
+    n_pillars: jax.Array    # () int32, number of real pillars
+
+
+class PointBins(NamedTuple):
+    """Per-point binning info shared by both paths."""
+
+    cx: jax.Array           # (N,) int32 x-cell
+    cy: jax.Array           # (N,) int32 y-cell
+    cz: jax.Array           # (N,) int32 z-cell
+    cell3d: jax.Array       # (N,) int32, (cz*ny + cy)*nx + cx; == num_cells_3d if invalid
+    valid: jax.Array        # (N,) bool, inside the pc_range box
+
+
+def bin_points(points: jax.Array, geom: PillarGeometry) -> PointBins:
+    """Per-axis floor binning with range check.
+
+    Matches reference utils/point_cloud_ops.py:33-38: c = floor((p - lo)/v),
+    invalid when c < 0 or c >= grid_size (upper edge exclusive).
+    """
+    lo = jnp.asarray(geom.pc_range[:3], dtype=points.dtype)
+    v = jnp.asarray(geom.voxel_size, dtype=points.dtype)
+    c = jnp.floor((points[..., :3] - lo) / v)
+    grid = jnp.asarray(geom.grid_size, dtype=c.dtype)
+    valid = jnp.all((c >= 0) & (c < grid), axis=-1)
+    ci = c.astype(jnp.int32)
+    cx, cy, cz = ci[..., 0], ci[..., 1], ci[..., 2]
+    nx, ny, _ = geom.grid_size
+    cell3d = (cz * ny + cy) * nx + cx
+    cell3d = jnp.where(valid, cell3d, geom.num_cells_3d)
+    return PointBins(cx, cy, cz, cell3d, valid)
+
+
+class PointRanks(NamedTuple):
+    rank: jax.Array          # (N,) int32 occurrence index of the point inside its cell
+    kept: jax.Array          # (N,) bool valid & rank < max_points
+    cell_count: jax.Array    # (num_cells_3d + 1,) int32 kept points per cell
+    raw_count: jax.Array     # (num_cells_3d + 1,) int32 all valid points per cell
+
+
+def count_and_rank(bins: PointBins, geom: PillarGeometry, max_points: int) -> PointRanks:
+    """Occurrence rank of every point within its cell, in point-stream order.
+
+    Replaces the reference's sequential `num < max_points` counter
+    (utils/point_cloud_ops.py:49-52) with a stable sort by cell id: stable
+    sorting preserves point order within a cell, so rank = position - run start.
+    """
+    n = bins.cell3d.shape[0]
+    order = jnp.argsort(bins.cell3d, stable=True)
+    sorted_cell = bins.cell3d[order]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]]
+    )
+    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
+    rank_sorted = pos - start_pos
+    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+
+    kept = bins.valid & (rank < max_points)
+    num_seg = geom.num_cells_3d + 1
+    cell_count = jnp.zeros((num_seg,), jnp.int32).at[bins.cell3d].add(
+        kept.astype(jnp.int32)
+    )
+    raw_count = jnp.zeros((num_seg,), jnp.int32).at[bins.cell3d].add(
+        bins.valid.astype(jnp.int32)
+    )
+    return PointRanks(rank, kept, cell_count, raw_count)
+
+
+def pillarize(
+    points: jax.Array,
+    geom: PillarGeometry,
+    max_points: int,
+    max_voxels: int,
+) -> PillarBatch:
+    """Reference-style fixed-shape pillarization of one scan.
+
+    Args:
+      points: (N, F) float array; columns 0..2 are xyz, the rest ride along
+        (reflectivity etc.), exactly like reference utils/point_cloud_ops.py:120.
+      geom: static grid geometry.
+      max_points: per-pillar point capacity (extra points dropped, point order).
+      max_voxels: pillar capacity (latest-created cells dropped).
+
+    Returns a PillarBatch with zyx `coors` (reverse_index=True semantics,
+    reference utils/point_cloud_ops.py:125-128,144-145).
+    """
+    n, f = points.shape
+    bins = bin_points(points, geom)
+    ranks = count_and_rank(bins, geom, max_points)
+    num_cells = geom.num_cells_3d
+
+    # Creation order: cells ranked by first occurrence in the point stream
+    # (reference assigns voxelidx in first-touch order, point_cloud_ops.py:41-48).
+    big = jnp.int32(2 * n + 1)
+    contrib = jnp.where(bins.valid, jnp.arange(n, dtype=jnp.int32), big)
+    first_orig = jnp.full((num_cells + 1,), big, jnp.int32).at[bins.cell3d].min(contrib)
+    # Exclude the invalid-point segment from ranking entirely.
+    first_orig = first_orig.at[num_cells].set(big)
+    cells_by_creation = jnp.argsort(first_orig)          # slot -> cell
+    creation_rank = jnp.argsort(cells_by_creation)       # cell -> slot
+    slot_per_point = creation_rank[bins.cell3d]
+
+    # Scatter points into (max_voxels * max_points, F); out-of-capacity writes drop.
+    flat_idx = slot_per_point * max_points + ranks.rank
+    oob = max_voxels * max_points
+    flat_idx = jnp.where(
+        ranks.kept & (slot_per_point < max_voxels), flat_idx, oob
+    )
+    voxels = (
+        jnp.zeros((max_voxels * max_points, f), points.dtype)
+        .at[flat_idx].set(points, mode="drop")
+        .reshape(max_voxels, max_points, f)
+    )
+
+    # Per-slot metadata.  When capacity exceeds the cell count, pad the
+    # slot->cell map with the invalid segment (always count 0, masked out).
+    if max_voxels > num_cells + 1:
+        cells_by_creation = jnp.concatenate(
+            [
+                cells_by_creation,
+                jnp.full((max_voxels - num_cells - 1,), num_cells, jnp.int32),
+            ]
+        )
+    slot_cells = cells_by_creation[:max_voxels]           # (max_voxels,) cell ids
+    slot_counts = ranks.cell_count[slot_cells]
+    n_pillars_total = jnp.sum((ranks.cell_count[:num_cells] > 0).astype(jnp.int32))
+    slot_ids = jnp.arange(max_voxels, dtype=jnp.int32)
+    mask = slot_ids < jnp.minimum(n_pillars_total, max_voxels)
+
+    nx, ny, _ = geom.grid_size
+    ccx = slot_cells % nx
+    ccy = (slot_cells // nx) % ny
+    ccz = slot_cells // (nx * ny)
+    coors = jnp.stack([ccz, ccy, ccx], axis=-1).astype(jnp.int32)
+    coors = jnp.where(mask[:, None], coors, 0)
+    num_points = jnp.where(mask, slot_counts, 0)
+
+    return PillarBatch(voxels, coors, num_points, mask,
+                       jnp.minimum(n_pillars_total, max_voxels))
+
+
+def decorate_pillars(
+    voxels: jax.Array,
+    num_points: jax.Array,
+    coors_xy: jax.Array,
+    geom: PillarGeometry,
+    max_points: int,
+    with_distance: bool = False,
+) -> jax.Array:
+    """PFN feature decoration on materialized pillars.
+
+    Reproduces reference modules/pointpillars.py:115-140 exactly:
+      * cluster offset: xyz minus the pillar mean over its `num_points` kept
+        points (padding rows are zero so sum/num == masked mean),
+      * center offset: x,y minus the pillar cell centre
+        (coors x * vx + vx/2 + xmin, analogously y),
+      * optional L2 norm of xyz,
+      * padding rows zeroed afterwards (mask applied to the whole feature).
+
+    Args:
+      voxels: (M, max_points, F).
+      num_points: (M,) int, kept points per pillar.
+      coors_xy: (M, 2) int32 (x_cell, y_cell) — callers with zyx coors pass
+        coors[:, [2, 1]].
+    Returns (M, max_points, F + 5 [+1]).
+    """
+    ftype = voxels.dtype
+    denom = jnp.maximum(num_points, 1).astype(ftype)[:, None, None]
+    points_mean = jnp.sum(voxels[:, :, :3], axis=1, keepdims=True) / denom
+    f_cluster = voxels[:, :, :3] - points_mean
+
+    vx, vy = geom.voxel_size[0], geom.voxel_size[1]
+    x_offset = vx / 2.0 + geom.pc_range[0]
+    y_offset = vy / 2.0 + geom.pc_range[1]
+    cx = coors_xy[:, 0].astype(ftype)[:, None] * vx + x_offset
+    cy = coors_xy[:, 1].astype(ftype)[:, None] * vy + y_offset
+    f_center = jnp.stack(
+        [voxels[:, :, 0] - cx, voxels[:, :, 1] - cy], axis=-1
+    )
+
+    feats = [voxels, f_cluster, f_center]
+    if with_distance:
+        feats.append(
+            jnp.linalg.norm(voxels[:, :, :3], axis=-1, keepdims=True)
+        )
+    out = jnp.concatenate(feats, axis=-1)
+
+    point_ids = jnp.arange(max_points, dtype=jnp.int32)[None, :]
+    pad_mask = (point_ids < num_points[:, None]).astype(ftype)[..., None]
+    return out * pad_mask
+
+
+def decorate_points(
+    points: jax.Array,
+    bins: PointBins,
+    ranks: PointRanks,
+    geom: PillarGeometry,
+    with_distance: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Flat per-point decoration for the fused path.
+
+    Computes the same decorated feature vector as `decorate_pillars`, but over
+    the flat (N, F) cloud: cluster means come from a masked segment-sum over
+    kept points of each cell, centre offsets from the point's own cell coords.
+
+    Returns:
+      decorated: (N, F + 5 [+1]) — rows of dropped points are zeroed.
+      kept: (N,) bool.
+    """
+    ftype = points.dtype
+    kept = ranks.kept
+    keptf = kept.astype(ftype)[:, None]
+    num_seg = geom.num_cells_3d + 1
+
+    xyz = points[:, :3]
+    sums = jnp.zeros((num_seg, 3), ftype).at[bins.cell3d].add(xyz * keptf)
+    counts = jnp.maximum(ranks.cell_count, 1).astype(ftype)
+    mean_per_point = sums[bins.cell3d] / counts[bins.cell3d][:, None]
+    f_cluster = xyz - mean_per_point
+
+    vx, vy = geom.voxel_size[0], geom.voxel_size[1]
+    x_offset = vx / 2.0 + geom.pc_range[0]
+    y_offset = vy / 2.0 + geom.pc_range[1]
+    f_center = jnp.stack(
+        [
+            points[:, 0] - (bins.cx.astype(ftype) * vx + x_offset),
+            points[:, 1] - (bins.cy.astype(ftype) * vy + y_offset),
+        ],
+        axis=-1,
+    )
+
+    feats = [points, f_cluster, f_center]
+    if with_distance:
+        feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    decorated = jnp.concatenate(feats, axis=-1) * keptf
+    return decorated, kept
+
+
+def scatter_max_canvas(
+    point_feats: jax.Array,
+    bins: PointBins,
+    ranks: PointRanks,
+    geom: PillarGeometry,
+    max_points: int,
+    pad_floor: jax.Array | None = None,
+) -> jax.Array:
+    """Masked per-cell max of point features into the dense pseudo-image.
+
+    Fuses the PFN max-pool (reference modules/pointpillars.py:58) with the
+    PointPillarsScatter (reference modules/pointpillars.py:168-199): each
+    point's feature row competes in a segment-max over its 2-D cell, landing
+    directly on the (ny, nx, C) canvas.  Requires nz == 1 (true for every
+    shipped reference config; the z voxel extent always spans the full range).
+
+    Args:
+      point_feats: (N, C) post-activation features (>= 0 after ReLU).
+      pad_floor: optional (C,) tensor reproducing the reference's padding-row
+        quirk: pillars with fewer than `max_points` points max over at least
+        one all-zero padding row, which after Linear(+bias)+ReLU contributes
+        relu(bias).  Pass relu(bias) to reproduce; None for empty-row-free max.
+
+    Returns (ny, nx, C) canvas; cells with no pillar are zero
+    (reference: torch.zeros canvas, modules/pointpillars.py:174).
+    """
+    if geom.nz != 1:
+        raise ValueError("fused canvas scatter requires nz == 1")
+    n, c = point_feats.shape
+    num_seg = geom.num_cells_2d + 1
+    # nz == 1 -> cell3d is already the 2-D cell id (cy * nx + cx).
+    cell = bins.cell3d
+    neg = jnp.asarray(jnp.finfo(point_feats.dtype).min, point_feats.dtype)
+    contrib = jnp.where(ranks.kept[:, None], point_feats, neg)
+    canvas = jnp.full((num_seg, c), neg, point_feats.dtype).at[cell].max(contrib)
+    canvas = canvas[: geom.num_cells_2d]
+
+    count = ranks.cell_count[: geom.num_cells_2d]
+    occupied = count > 0
+    if pad_floor is not None:
+        has_padding_row = occupied & (count < max_points)
+        canvas = jnp.where(
+            has_padding_row[:, None],
+            jnp.maximum(canvas, pad_floor[None, :].astype(canvas.dtype)),
+            canvas,
+        )
+    canvas = jnp.where(occupied[:, None], canvas, 0)
+    return canvas.reshape(geom.ny, geom.nx, c)
