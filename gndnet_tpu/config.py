@@ -116,6 +116,9 @@ class GndNetConfig:
 
     # --- tpu-specific (new; no reference analog) ---
     compute_dtype: str = "float32"   # 'float32' | 'bfloat16' for conv compute
+    matmul_precision: str = "highest"  # lax.Precision for convs/matmuls;
+                                       # 'highest' = reference-parity f32,
+                                       # 'default' = fast MXU passes
     dp_axis: int = 1                 # data-parallel mesh size (1 = off)
     sp_axis: int = 1                 # spatial-parallel mesh size (1 = off)
 

@@ -1,0 +1,127 @@
+"""GroundEstimatorNet: the full scan -> elevation-map model.
+
+Assembly of PFN -> pseudo-image -> SegNet (reference: model.py:13-42) with
+two apply paths sharing one parameter set:
+
+* `__call__(voxels, coors, num_points, mask)` — reference-style: consumes
+  materialized pillars (from ops.pillarize.pillarize_batch), decorates,
+  runs the PFN stack, scatters to the canvas, runs SegNet.  Supports every
+  configuration (multi-layer PFN, use_norm training) and is the parity
+  anchor against the PyTorch reference.
+
+* `fused(points)` — the TPU fast path: raw (B, N, F) points in, elevation
+  out, with PFN-linear+max+scatter fused into one matmul + segment-max over
+  a flat batched segment space (see ops/pillarize.py).  Requires a
+  single-layer PFN (the only shipped configuration) and eval-mode batch
+  norm; produces bit-identical canvases to the reference-style path.
+
+Output is (B, ny, nx) float32 elevation (the reference squeezes, making B=1
+rank-2, model.py:42 — we keep the batch axis; `infer` squeezes at the API
+edge).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from gndnet_tpu.config import GndNetConfig
+from gndnet_tpu.models.pfn import PillarFeatureNet
+from gndnet_tpu.models.segnet import SegnetGndEst
+from gndnet_tpu.ops import pillarize as pz
+from gndnet_tpu.ops.scatter import scatter_pillars_to_canvas
+
+
+class GroundEstimatorNet(nn.Module):
+    cfg: GndNetConfig
+
+    def setup(self):
+        self.geom = pz.PillarGeometry.from_config(self.cfg)
+        self.pfn = PillarFeatureNet(
+            num_filters=self.cfg.vfe_filters,
+            use_norm=self.cfg.use_norm,
+            precision=self.cfg.matmul_precision,
+            name="voxel_feature_extractor",
+        )
+        dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
+        self.encoder_decoder = SegnetGndEst(
+            in_channels=self.cfg.vfe_filters[-1],
+            dtype=dtype,
+            precision=self.cfg.matmul_precision,
+            name="encoder_decoder",
+        )
+
+    def __call__(self, voxels, coors, num_points, mask, train: bool = False):
+        """Reference-style forward.
+
+        Args:
+          voxels: (B, M, P, F) pillar point tensors.
+          coors: (B, M, 3) int32 zyx.
+          num_points: (B, M) int32.
+          mask: (B, M) bool pillar validity.
+        Returns (B, ny, nx) float32 elevation.
+        """
+        cfg = self.cfg
+        decorated = pz.decorate_pillars(
+            voxels, num_points, coors[..., jnp.array([2, 1])], self.geom,
+            cfg.max_points_voxel, with_distance=cfg.with_distance,
+        )
+        b, m, p, d = decorated.shape
+        pillar_feats = self.pfn(decorated.reshape(b * m, p, d), train=train)
+        pillar_feats = pillar_feats.reshape(b, m, -1)
+        # The reference scatters padding pillars too (they are zero rows at
+        # canvas cell 0 before any real pillar writes); we mask them instead.
+        pillar_feats = jnp.where(mask[..., None], pillar_feats, 0)
+        canvas = scatter_pillars_to_canvas(
+            pillar_feats, coors, mask, self.geom.ny, self.geom.nx
+        )
+        pred = self.encoder_decoder(canvas, train=train)
+        return jnp.squeeze(pred, axis=-1)
+
+    def fused(self, points, train: bool = False):
+        """Fused fast path: (B, N, F) raw points -> (B, ny, nx) elevation."""
+        cfg = self.cfg
+        if len(cfg.vfe_filters) != 1:
+            raise ValueError("fused path requires a single PFN layer")
+        if cfg.use_norm and train:
+            raise ValueError(
+                "fused path supports use_norm only in eval mode "
+                "(running-stat BN folds into the linear layer)"
+            )
+        geom = self.geom
+        ctx = pz.bin_points_batch(points, geom)
+        ranks = pz.count_and_rank(ctx, cfg.max_points_voxel)
+        flat_points = points.reshape(-1, points.shape[-1])
+        decorated, _ = pz.decorate_points(
+            flat_points, ctx, ranks, geom, with_distance=cfg.with_distance
+        )
+        layer = self.pfn.layers[0]
+        acts = layer.activate_flat(decorated, train=train)  # (B*N, C)
+        # Reference padding-row quirk: rows zeroed pre-linear contribute
+        # relu(linear(0)) to each non-full pillar's max (pointpillars.py:58).
+        pad_floor = layer.activate_flat(
+            jnp.zeros((1, decorated.shape[-1]), decorated.dtype), train=False
+        )[0]
+        canvas = pz.scatter_max_canvas(
+            acts, ctx, ranks, geom, cfg.max_points_voxel, pad_floor=pad_floor
+        )
+        pred = self.encoder_decoder(canvas, train=train)
+        return jnp.squeeze(pred, axis=-1)
+
+
+def init_model(cfg: GndNetConfig, seed: int = 0):
+    """Initialize (model, variables) with dummy pillar inputs."""
+    model = GroundEstimatorNet(cfg)
+    rng = jax.random.PRNGKey(seed)
+    b, m, p = 1, 8, cfg.max_points_voxel
+    f = cfg.input_features
+    variables = model.init(
+        rng,
+        jnp.zeros((b, m, p, f), jnp.float32),
+        jnp.zeros((b, m, 3), jnp.int32),
+        jnp.zeros((b, m), jnp.int32),
+        jnp.zeros((b, m), bool),
+        train=False,
+    )
+    return model, variables

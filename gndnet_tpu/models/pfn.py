@@ -1,0 +1,101 @@
+"""Pillar Feature Net in flax.
+
+Re-derivation of the reference PFN (modules/pointpillars.py:19-146) with the
+same math: feature decoration (done by ops.pillarize), then per-point
+Linear(+BatchNorm when use_norm)+ReLU and a max over the points of each
+pillar.  Torch quirks preserved:
+
+* `use_norm=True`: Linear without bias + BatchNorm1d(eps=1e-3, momentum=0.01)
+  normalizing each channel over (pillars x points) INCLUDING padding rows
+  (the reference normalizes the full padded tensor, pointpillars.py:55).
+* `use_norm=False` (every shipped config): Linear with bias; padding rows are
+  zero pre-linear so they contribute relu(bias) to the pillar max
+  (pointpillars.py:58 maxes over all rows).
+* non-last layers emit units//2 channels concatenated with the broadcast max
+  (pointpillars.py:37-39, 60-65).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class PFNLayer(nn.Module):
+    out_channels: int
+    use_norm: bool = True
+    last_layer: bool = False
+    precision: str = "highest"
+
+    @property
+    def units(self) -> int:
+        return self.out_channels if self.last_layer else self.out_channels // 2
+
+    def setup(self):
+        self.linear = nn.Dense(self.units, use_bias=not self.use_norm,
+                               precision=jax.lax.Precision(self.precision))
+        if self.use_norm:
+            # torch BatchNorm1d(eps=1e-3, momentum=0.01): flax momentum is the
+            # running-average retention factor, i.e. 1 - torch_momentum.
+            self.norm = nn.BatchNorm(momentum=0.99, epsilon=1e-3)
+
+    def activate_flat(self, x, train: bool = False):
+        """Linear(+BN)+ReLU on an arbitrary (..., Cin) tensor.
+
+        Used both by `__call__` on (M, P, Cin) pillars and by the fused path
+        on the flat (N, Cin) decorated point stream.  With use_norm the fused
+        path only supports eval mode (running stats are a pure affine map);
+        training-mode batch stats would need the padded pillar tensor the
+        fused path deliberately never builds.
+        """
+        x = self.linear(x)
+        if self.use_norm:
+            x = self.norm(x, use_running_average=not train)
+        return nn.relu(x)
+
+    def __call__(self, x, train: bool = False):
+        """x: (M, P, Cin) -> (M, 1, units) if last else (M, P, 2*units)."""
+        x = self.activate_flat(x, train=train)
+        x_max = jnp.max(x, axis=1, keepdims=True)
+        if self.last_layer:
+            return x_max
+        x_repeat = jnp.broadcast_to(x_max, x.shape)
+        return jnp.concatenate([x, x_repeat], axis=2)
+
+
+class PillarFeatureNet(nn.Module):
+    """Stack of PFNLayers over decorated pillar features.
+
+    Input is the already-decorated (M, P, D) tensor (see
+    ops.pillarize.decorate_pillars); output is (M, C_out) pillar features.
+    Single-layer stacks (`vfe_filters: [64]`, the only shipped configuration,
+    reference config/config_kittiSem.yaml:25) are also exactly expressible as
+    one dense matmul over the flat point stream — the fused path exploits
+    that (models/gndnet.py).
+    """
+
+    num_filters: Sequence[int] = (64,)
+    use_norm: bool = False
+    precision: str = "highest"
+
+    def setup(self):
+        n = len(self.num_filters)
+        self.layers = [
+            PFNLayer(
+                out_channels=f,
+                use_norm=self.use_norm,
+                last_layer=(i == n - 1),
+                precision=self.precision,
+                name=f"pfn_{i}",
+            )
+            for i, f in enumerate(self.num_filters)
+        ]
+
+    def __call__(self, decorated, train: bool = False):
+        x = decorated
+        for layer in self.layers:
+            x = layer(x, train=train)
+        return jnp.squeeze(x, axis=1)

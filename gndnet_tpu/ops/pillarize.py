@@ -21,11 +21,13 @@ Two paths are provided:
    (utils/point_cloud_ops.py:43-45); we instead keep all points of the
    `max_voxels` earliest-created pillars — strictly more data, same shapes.)
 
-2. `decorate_points` + `count_and_rank` — the building blocks of the fused
-   serving path: per-point decoration over the flat (N, F) cloud so the PFN
-   linear layer becomes one large MXU matmul followed by a masked segment-max
-   straight into the pseudo-image canvas, skipping the (max_voxels, max_points)
-   intermediate entirely.
+2. The fused path (`bin_points`/`bin_points_batch` -> `count_and_rank` ->
+   `decorate_points` -> `scatter_max_canvas`): per-point decoration over the
+   flat point stream so the PFN linear layer becomes one large MXU matmul
+   followed by a masked segment-max straight onto the pseudo-image canvas —
+   the (max_voxels, max_points) intermediate never exists.  Batched scans
+   share one flat segment space (cell ids offset per batch item), so every
+   step is a single sort/segment op with no vmapped scatters.
 
 All functions are shape-polymorphic in N and jit-friendly (no data-dependent
 control flow).
@@ -72,7 +74,7 @@ class PillarGeometry(NamedTuple):
 
 
 class PillarBatch(NamedTuple):
-    """Fixed-shape pillarization result (single scan)."""
+    """Fixed-shape pillarization result (reference-style API)."""
 
     voxels: jax.Array       # (max_voxels, max_points, F) float
     coors: jax.Array        # (max_voxels, 3) int32, zyx order (reverse_index)
@@ -81,17 +83,23 @@ class PillarBatch(NamedTuple):
     n_pillars: jax.Array    # () int32, number of real pillars
 
 
-class PointBins(NamedTuple):
-    """Per-point binning info shared by both paths."""
+class PointContext(NamedTuple):
+    """Per-point binning over a flat point stream (possibly several scans).
 
-    cx: jax.Array           # (N,) int32 x-cell
-    cy: jax.Array           # (N,) int32 y-cell
-    cz: jax.Array           # (N,) int32 z-cell
-    cell3d: jax.Array       # (N,) int32, (cz*ny + cy)*nx + cx; == num_cells_3d if invalid
-    valid: jax.Array        # (N,) bool, inside the pc_range box
+    `cell` is a flat segment id: scan b's 3-D cell c maps to b * C3 + c, and
+    every invalid point maps to the shared drop segment `num_segments - 1`.
+    """
+
+    cx: jax.Array            # (M,) int32 x-cell
+    cy: jax.Array            # (M,) int32 y-cell
+    cz: jax.Array            # (M,) int32 z-cell
+    cell: jax.Array          # (M,) int32 flat segment id
+    valid: jax.Array         # (M,) bool, inside the pc_range box
+    num_segments: int        # static: batch * num_cells_3d + 1
+    batch: int               # static scan count folded into the flat stream
 
 
-def bin_points(points: jax.Array, geom: PillarGeometry) -> PointBins:
+def _bin(points, geom: PillarGeometry):
     """Per-axis floor binning with range check.
 
     Matches reference utils/point_cloud_ops.py:33-38: c = floor((p - lo)/v),
@@ -103,45 +111,63 @@ def bin_points(points: jax.Array, geom: PillarGeometry) -> PointBins:
     grid = jnp.asarray(geom.grid_size, dtype=c.dtype)
     valid = jnp.all((c >= 0) & (c < grid), axis=-1)
     ci = c.astype(jnp.int32)
-    cx, cy, cz = ci[..., 0], ci[..., 1], ci[..., 2]
+    return ci[..., 0], ci[..., 1], ci[..., 2], valid
+
+
+def bin_points(points: jax.Array, geom: PillarGeometry) -> PointContext:
+    """Bin one scan: points (N, F) -> PointContext with batch == 1."""
+    cx, cy, cz, valid = _bin(points, geom)
     nx, ny, _ = geom.grid_size
-    cell3d = (cz * ny + cy) * nx + cx
-    cell3d = jnp.where(valid, cell3d, geom.num_cells_3d)
-    return PointBins(cx, cy, cz, cell3d, valid)
+    c3 = geom.num_cells_3d
+    cell = (cz * ny + cy) * nx + cx
+    cell = jnp.where(valid, cell, c3)
+    return PointContext(cx, cy, cz, cell, valid, c3 + 1, 1)
+
+
+def bin_points_batch(points_b: jax.Array, geom: PillarGeometry) -> PointContext:
+    """Bin a batch of scans (B, N, F) into one flat (B*N,) segment space."""
+    b, n, _ = points_b.shape
+    flat = points_b.reshape(b * n, -1)
+    cx, cy, cz, valid = _bin(flat, geom)
+    nx, ny, _ = geom.grid_size
+    c3 = geom.num_cells_3d
+    batch_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n)
+    cell = batch_ids * c3 + (cz * ny + cy) * nx + cx
+    cell = jnp.where(valid, cell, b * c3)
+    return PointContext(cx, cy, cz, cell, valid, b * c3 + 1, b)
 
 
 class PointRanks(NamedTuple):
-    rank: jax.Array          # (N,) int32 occurrence index of the point inside its cell
-    kept: jax.Array          # (N,) bool valid & rank < max_points
-    cell_count: jax.Array    # (num_cells_3d + 1,) int32 kept points per cell
-    raw_count: jax.Array     # (num_cells_3d + 1,) int32 all valid points per cell
+    rank: jax.Array          # (M,) int32 occurrence index of the point inside its cell
+    kept: jax.Array          # (M,) bool valid & rank < max_points
+    cell_count: jax.Array    # (num_segments,) int32 kept points per cell
+    raw_count: jax.Array     # (num_segments,) int32 all valid points per cell
 
 
-def count_and_rank(bins: PointBins, geom: PillarGeometry, max_points: int) -> PointRanks:
+def count_and_rank(ctx: PointContext, max_points: int) -> PointRanks:
     """Occurrence rank of every point within its cell, in point-stream order.
 
     Replaces the reference's sequential `num < max_points` counter
-    (utils/point_cloud_ops.py:49-52) with a stable sort by cell id: stable
+    (utils/point_cloud_ops.py:49-52) with a stable sort by segment id: stable
     sorting preserves point order within a cell, so rank = position - run start.
     """
-    n = bins.cell3d.shape[0]
-    order = jnp.argsort(bins.cell3d, stable=True)
-    sorted_cell = bins.cell3d[order]
-    pos = jnp.arange(n, dtype=jnp.int32)
+    m = ctx.cell.shape[0]
+    order = jnp.argsort(ctx.cell, stable=True)
+    sorted_cell = ctx.cell[order]
+    pos = jnp.arange(m, dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]]
     )
     start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
     rank_sorted = pos - start_pos
-    rank = jnp.zeros((n,), jnp.int32).at[order].set(rank_sorted)
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
 
-    kept = bins.valid & (rank < max_points)
-    num_seg = geom.num_cells_3d + 1
-    cell_count = jnp.zeros((num_seg,), jnp.int32).at[bins.cell3d].add(
+    kept = ctx.valid & (rank < max_points)
+    cell_count = jnp.zeros((ctx.num_segments,), jnp.int32).at[ctx.cell].add(
         kept.astype(jnp.int32)
     )
-    raw_count = jnp.zeros((num_seg,), jnp.int32).at[bins.cell3d].add(
-        bins.valid.astype(jnp.int32)
+    raw_count = jnp.zeros((ctx.num_segments,), jnp.int32).at[ctx.cell].add(
+        ctx.valid.astype(jnp.int32)
     )
     return PointRanks(rank, kept, cell_count, raw_count)
 
@@ -165,20 +191,20 @@ def pillarize(
     reference utils/point_cloud_ops.py:125-128,144-145).
     """
     n, f = points.shape
-    bins = bin_points(points, geom)
-    ranks = count_and_rank(bins, geom, max_points)
+    ctx = bin_points(points, geom)
+    ranks = count_and_rank(ctx, max_points)
     num_cells = geom.num_cells_3d
 
     # Creation order: cells ranked by first occurrence in the point stream
     # (reference assigns voxelidx in first-touch order, point_cloud_ops.py:41-48).
     big = jnp.int32(2 * n + 1)
-    contrib = jnp.where(bins.valid, jnp.arange(n, dtype=jnp.int32), big)
-    first_orig = jnp.full((num_cells + 1,), big, jnp.int32).at[bins.cell3d].min(contrib)
+    contrib = jnp.where(ctx.valid, jnp.arange(n, dtype=jnp.int32), big)
+    first_orig = jnp.full((num_cells + 1,), big, jnp.int32).at[ctx.cell].min(contrib)
     # Exclude the invalid-point segment from ranking entirely.
     first_orig = first_orig.at[num_cells].set(big)
     cells_by_creation = jnp.argsort(first_orig)          # slot -> cell
     creation_rank = jnp.argsort(cells_by_creation)       # cell -> slot
-    slot_per_point = creation_rank[bins.cell3d]
+    slot_per_point = creation_rank[ctx.cell]
 
     # Scatter points into (max_voxels * max_points, F); out-of-capacity writes drop.
     flat_idx = slot_per_point * max_points + ranks.rank
@@ -219,6 +245,18 @@ def pillarize(
                        jnp.minimum(n_pillars_total, max_voxels))
 
 
+def pillarize_batch(
+    points_b: jax.Array,
+    geom: PillarGeometry,
+    max_points: int,
+    max_voxels: int,
+) -> PillarBatch:
+    """vmap of `pillarize` over a (B, N, F) batch; all fields gain a leading
+    batch axis.  Replaces the reference train loop's per-sample host
+    voxelization (training.py:131-143) with one on-device batched program."""
+    return jax.vmap(lambda p: pillarize(p, geom, max_points, max_voxels))(points_b)
+
+
 def decorate_pillars(
     voxels: jax.Array,
     num_points: jax.Array,
@@ -238,41 +276,42 @@ def decorate_pillars(
       * padding rows zeroed afterwards (mask applied to the whole feature).
 
     Args:
-      voxels: (M, max_points, F).
-      num_points: (M,) int, kept points per pillar.
-      coors_xy: (M, 2) int32 (x_cell, y_cell) — callers with zyx coors pass
-        coors[:, [2, 1]].
-    Returns (M, max_points, F + 5 [+1]).
+      voxels: (..., max_points, F) — works on single scans (M, P, F) and
+        batches (B, M, P, F).
+      num_points: (...,) int, kept points per pillar.
+      coors_xy: (..., 2) int32 (x_cell, y_cell) — callers with zyx coors pass
+        coors[..., [2, 1]].
+    Returns (..., max_points, F + 5 [+1]).
     """
     ftype = voxels.dtype
-    denom = jnp.maximum(num_points, 1).astype(ftype)[:, None, None]
-    points_mean = jnp.sum(voxels[:, :, :3], axis=1, keepdims=True) / denom
-    f_cluster = voxels[:, :, :3] - points_mean
+    denom = jnp.maximum(num_points, 1).astype(ftype)[..., None, None]
+    points_mean = jnp.sum(voxels[..., :3], axis=-2, keepdims=True) / denom
+    f_cluster = voxels[..., :3] - points_mean
 
     vx, vy = geom.voxel_size[0], geom.voxel_size[1]
     x_offset = vx / 2.0 + geom.pc_range[0]
     y_offset = vy / 2.0 + geom.pc_range[1]
-    cx = coors_xy[:, 0].astype(ftype)[:, None] * vx + x_offset
-    cy = coors_xy[:, 1].astype(ftype)[:, None] * vy + y_offset
+    cx = coors_xy[..., 0].astype(ftype)[..., None] * vx + x_offset
+    cy = coors_xy[..., 1].astype(ftype)[..., None] * vy + y_offset
     f_center = jnp.stack(
-        [voxels[:, :, 0] - cx, voxels[:, :, 1] - cy], axis=-1
+        [voxels[..., 0] - cx, voxels[..., 1] - cy], axis=-1
     )
 
     feats = [voxels, f_cluster, f_center]
     if with_distance:
         feats.append(
-            jnp.linalg.norm(voxels[:, :, :3], axis=-1, keepdims=True)
+            jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True)
         )
     out = jnp.concatenate(feats, axis=-1)
 
-    point_ids = jnp.arange(max_points, dtype=jnp.int32)[None, :]
-    pad_mask = (point_ids < num_points[:, None]).astype(ftype)[..., None]
+    point_ids = jnp.arange(max_points, dtype=jnp.int32)
+    pad_mask = (point_ids < num_points[..., None]).astype(ftype)[..., None]
     return out * pad_mask
 
 
 def decorate_points(
     points: jax.Array,
-    bins: PointBins,
+    ctx: PointContext,
     ranks: PointRanks,
     geom: PillarGeometry,
     with_distance: bool = False,
@@ -280,22 +319,21 @@ def decorate_points(
     """Flat per-point decoration for the fused path.
 
     Computes the same decorated feature vector as `decorate_pillars`, but over
-    the flat (N, F) cloud: cluster means come from a masked segment-sum over
-    kept points of each cell, centre offsets from the point's own cell coords.
+    the flat (M, F) point stream: cluster means come from a masked segment-sum
+    over kept points of each cell, centre offsets from the point's own cell.
 
     Returns:
-      decorated: (N, F + 5 [+1]) — rows of dropped points are zeroed.
-      kept: (N,) bool.
+      decorated: (M, F + 5 [+1]) — rows of dropped points are zeroed.
+      kept: (M,) bool.
     """
     ftype = points.dtype
     kept = ranks.kept
     keptf = kept.astype(ftype)[:, None]
-    num_seg = geom.num_cells_3d + 1
 
     xyz = points[:, :3]
-    sums = jnp.zeros((num_seg, 3), ftype).at[bins.cell3d].add(xyz * keptf)
+    sums = jnp.zeros((ctx.num_segments, 3), ftype).at[ctx.cell].add(xyz * keptf)
     counts = jnp.maximum(ranks.cell_count, 1).astype(ftype)
-    mean_per_point = sums[bins.cell3d] / counts[bins.cell3d][:, None]
+    mean_per_point = sums[ctx.cell] / counts[ctx.cell][:, None]
     f_cluster = xyz - mean_per_point
 
     vx, vy = geom.voxel_size[0], geom.voxel_size[1]
@@ -303,8 +341,8 @@ def decorate_points(
     y_offset = vy / 2.0 + geom.pc_range[1]
     f_center = jnp.stack(
         [
-            points[:, 0] - (bins.cx.astype(ftype) * vx + x_offset),
-            points[:, 1] - (bins.cy.astype(ftype) * vy + y_offset),
+            points[:, 0] - (ctx.cx.astype(ftype) * vx + x_offset),
+            points[:, 1] - (ctx.cy.astype(ftype) * vy + y_offset),
         ],
         axis=-1,
     )
@@ -318,7 +356,7 @@ def decorate_points(
 
 def scatter_max_canvas(
     point_feats: jax.Array,
-    bins: PointBins,
+    ctx: PointContext,
     ranks: PointRanks,
     geom: PillarGeometry,
     max_points: int,
@@ -329,31 +367,31 @@ def scatter_max_canvas(
     Fuses the PFN max-pool (reference modules/pointpillars.py:58) with the
     PointPillarsScatter (reference modules/pointpillars.py:168-199): each
     point's feature row competes in a segment-max over its 2-D cell, landing
-    directly on the (ny, nx, C) canvas.  Requires nz == 1 (true for every
+    directly on the (B, ny, nx, C) canvas.  Requires nz == 1 (true for every
     shipped reference config; the z voxel extent always spans the full range).
 
     Args:
-      point_feats: (N, C) post-activation features (>= 0 after ReLU).
+      point_feats: (M, C) post-activation features (>= 0 after ReLU).
       pad_floor: optional (C,) tensor reproducing the reference's padding-row
         quirk: pillars with fewer than `max_points` points max over at least
         one all-zero padding row, which after Linear(+bias)+ReLU contributes
         relu(bias).  Pass relu(bias) to reproduce; None for empty-row-free max.
 
-    Returns (ny, nx, C) canvas; cells with no pillar are zero
+    Returns (batch, ny, nx, C) canvas; cells with no pillar are zero
     (reference: torch.zeros canvas, modules/pointpillars.py:174).
     """
     if geom.nz != 1:
         raise ValueError("fused canvas scatter requires nz == 1")
-    n, c = point_feats.shape
-    num_seg = geom.num_cells_2d + 1
-    # nz == 1 -> cell3d is already the 2-D cell id (cy * nx + cx).
-    cell = bins.cell3d
+    m, c = point_feats.shape
+    ncells = ctx.num_segments - 1   # == batch * num_cells_2d when nz == 1
     neg = jnp.asarray(jnp.finfo(point_feats.dtype).min, point_feats.dtype)
     contrib = jnp.where(ranks.kept[:, None], point_feats, neg)
-    canvas = jnp.full((num_seg, c), neg, point_feats.dtype).at[cell].max(contrib)
-    canvas = canvas[: geom.num_cells_2d]
+    canvas = jnp.full((ctx.num_segments, c), neg, point_feats.dtype).at[
+        ctx.cell
+    ].max(contrib)
+    canvas = canvas[:ncells]
 
-    count = ranks.cell_count[: geom.num_cells_2d]
+    count = ranks.cell_count[:ncells]
     occupied = count > 0
     if pad_floor is not None:
         has_padding_row = occupied & (count < max_points)
@@ -363,4 +401,4 @@ def scatter_max_canvas(
             canvas,
         )
     canvas = jnp.where(occupied[:, None], canvas, 0)
-    return canvas.reshape(geom.ny, geom.nx, c)
+    return canvas.reshape(ctx.batch, geom.ny, geom.nx, c)

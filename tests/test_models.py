@@ -1,0 +1,237 @@
+"""Model parity tests against torch-functional + numpy oracles.
+
+torch (CPU) is used purely as a test oracle: we re-express the reference's
+published architecture as functional torch calls, feed it weights exported
+from our flax model via checkpoint.export_torch_state_dict, and require the
+outputs to match.  This simultaneously validates the model math and the
+.pth.tar weight interchange.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from gndnet_tpu.config import GndNetConfig
+from gndnet_tpu.checkpoint import (
+    export_torch_state_dict,
+    import_torch_state_dict,
+)
+from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+from gndnet_tpu.ops.pooling import max_pool_argmax, max_unpool
+from gndnet_tpu.ops import pillarize as pz
+from oracles import (
+    decorate_oracle,
+    pfn_forward_oracle,
+    scatter_canvas_oracle,
+    voxelize_oracle,
+)
+
+CFG = GndNetConfig(
+    pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+    grid_range=(0.0, -8.0, 16.0, 8.0),
+    voxel_size=(1.0, 1.0, 8.0),
+    max_points_voxel=20,
+    max_voxels=256,
+    input_features=4,
+    batch_size=2,
+    use_norm=False,
+)
+
+
+# ---------------------------------------------------------------------------
+# pooling vs torch
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("hw", [(8, 8), (9, 7), (16, 10)])
+def test_pool_unpool_matches_torch(rng, hw):
+    h, w = hw
+    x = rng.normal(size=(2, h, w, 3)).astype(np.float32)
+    pooled, idx = max_pool_argmax(jnp.asarray(x))
+    restored = max_unpool(pooled, idx, (h, w))
+
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    pt, it = F.max_pool2d(xt, 2, 2, return_indices=True)
+    rt = F.max_unpool2d(pt, it, 2, 2, output_size=(h, w))
+
+    np.testing.assert_allclose(
+        np.asarray(pooled), pt.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(restored), rt.permute(0, 2, 3, 1).numpy(), atol=1e-6)
+
+
+def test_pool_gradients_flow():
+    x = jnp.arange(32.0, dtype=jnp.float32).reshape(1, 4, 4, 2)
+
+    def f(x):
+        p, i = max_pool_argmax(x)
+        return jnp.sum(max_unpool(p * 2.0, i, (4, 4)))
+
+    g = jax.grad(f)(x)
+    # gradient lands only on window-max elements, value 2.
+    assert float(jnp.sum(g)) == pytest.approx(2.0 * 2 * 2 * 2)
+    assert set(np.unique(np.asarray(g))) <= {0.0, 2.0}
+
+
+# ---------------------------------------------------------------------------
+# torch-functional SegNet oracle
+# ---------------------------------------------------------------------------
+
+def torch_cbr(x, sd, prefix):
+    w = torch.from_numpy(sd[f"{prefix}.0.weight"])
+    b = torch.from_numpy(sd[f"{prefix}.0.bias"])
+    x = F.conv2d(x, w, b, padding=1)
+    x = F.batch_norm(
+        x,
+        torch.from_numpy(sd[f"{prefix}.1.running_mean"]),
+        torch.from_numpy(sd[f"{prefix}.1.running_var"]),
+        torch.from_numpy(sd[f"{prefix}.1.weight"]),
+        torch.from_numpy(sd[f"{prefix}.1.bias"]),
+        training=False,
+        eps=1e-5,
+    )
+    return F.relu(x)
+
+
+def torch_segnet_eval(canvas_nchw, sd):
+    x = torch_cbr(canvas_nchw, sd, "encoder_decoder.down1.conv1.cbr_unit")
+    x = torch_cbr(x, sd, "encoder_decoder.down1.conv2.cbr_unit")
+    s1 = x.size()
+    x, i1 = F.max_pool2d(x, 2, 2, return_indices=True)
+    x = torch_cbr(x, sd, "encoder_decoder.down2.conv1.cbr_unit")
+    x = torch_cbr(x, sd, "encoder_decoder.down2.conv2.cbr_unit")
+    s2 = x.size()
+    x, i2 = F.max_pool2d(x, 2, 2, return_indices=True)
+    x = F.max_unpool2d(x, i2, 2, 2, output_size=s2)
+    x = torch_cbr(x, sd, "encoder_decoder.up2.conv1.cbr_unit")
+    x = torch_cbr(x, sd, "encoder_decoder.up2.conv2.cbr_unit")
+    x = F.max_unpool2d(x, i1, 2, 2, output_size=s1)
+    x = torch_cbr(x, sd, "encoder_decoder.up1.conv1.cbr_unit")
+    x = torch_cbr(x, sd, "encoder_decoder.up1.conv2.cbr_unit")
+    w = torch.from_numpy(sd["encoder_decoder.regressor.weight"])
+    b = torch.from_numpy(sd["encoder_decoder.regressor.bias"])
+    return F.conv2d(x, w, b, padding=1)
+
+
+def randomized_variables(cfg, rng, seed=0):
+    """Init the model then randomize batch-norm stats/affine so BN parity is
+    actually exercised (fresh init is mean 0 / var 1 / scale 1 / bias 0)."""
+    model, variables = init_model(cfg, seed=seed)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+
+    def walk(p, s):
+        for k in list(p.keys()):
+            if k == "bn" or k == "norm":
+                c = p[k]["scale"].shape[0]
+                p[k]["scale"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+                p[k]["bias"] = rng.normal(0, 0.2, c).astype(np.float32)
+                s[k]["mean"] = rng.normal(0, 0.2, c).astype(np.float32)
+                s[k]["var"] = rng.uniform(0.5, 1.5, c).astype(np.float32)
+            elif isinstance(p[k], dict):
+                walk(p[k], s.get(k, {}) if isinstance(s, dict) else {})
+
+    walk(variables["params"], variables["batch_stats"])
+    return model, variables
+
+
+def make_batch(cfg, rng, b=2, n=600):
+    pts = rng.uniform(size=(b, n, cfg.input_features)).astype(np.float32)
+    lo = np.array(cfg.pc_range[:3]) - 0.5
+    hi = np.array(cfg.pc_range[3:]) + 0.5
+    pts[..., :3] = pts[..., :3] * (hi - lo) + lo
+    return pts
+
+
+def oracle_forward(cfg, sd, pts_b, use_norm=False):
+    """Full end-to-end oracle: numpy voxelize/decorate/pfn/scatter + torch segnet."""
+    canvases = []
+    for pts in pts_b:
+        v, c, n = voxelize_oracle(
+            pts, cfg.voxel_size, cfg.pc_range, cfg.max_points_voxel,
+            cfg.max_voxels)
+        dec = decorate_oracle(v, n, c[:, [2, 1]], cfg.voxel_size, cfg.pc_range,
+                              cfg.with_distance)
+        assert not use_norm
+        w = sd["voxel_feature_extractor.pfn_layers.0.linear.weight"].T
+        b = sd["voxel_feature_extractor.pfn_layers.0.linear.bias"]
+        feats = pfn_forward_oracle(dec, w, b, cfg.max_points_voxel, n)
+        canvases.append(
+            scatter_canvas_oracle(feats, c, len(c), cfg.ny, cfg.nx))
+    canvas = np.stack(canvases).astype(np.float32)
+    out = torch_segnet_eval(
+        torch.from_numpy(canvas).permute(0, 3, 1, 2), sd)
+    return out.squeeze(1).numpy()  # (B, ny, nx)
+
+
+def test_model_matches_full_oracle(rng):
+    model, variables = randomized_variables(CFG, rng)
+    sd = export_torch_state_dict(variables, CFG)
+    pts = make_batch(CFG, rng)
+
+    want = oracle_forward(CFG, sd, pts)
+
+    pb = pz.pillarize_batch(
+        jnp.asarray(pts), pz.PillarGeometry.from_config(CFG),
+        CFG.max_points_voxel, CFG.max_voxels)
+    got = model.apply(
+        variables, pb.voxels, pb.coors, pb.num_points, pb.mask, train=False)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_path_matches_pillar_path(rng):
+    model, variables = randomized_variables(CFG, rng)
+    pts = make_batch(CFG, rng)
+    pb = pz.pillarize_batch(
+        jnp.asarray(pts), pz.PillarGeometry.from_config(CFG),
+        CFG.max_points_voxel, CFG.max_voxels)
+    ref = model.apply(
+        variables, pb.voxels, pb.coors, pb.num_points, pb.mask, train=False)
+    fused = model.apply(
+        variables, jnp.asarray(pts), train=False,
+        method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_path_matches_pillar_path_use_norm(rng):
+    cfg = CFG.replace(use_norm=True)
+    model, variables = randomized_variables(cfg, rng, seed=3)
+    pts = make_batch(cfg, rng)
+    pb = pz.pillarize_batch(
+        jnp.asarray(pts), pz.PillarGeometry.from_config(cfg),
+        cfg.max_points_voxel, cfg.max_voxels)
+    ref = model.apply(
+        variables, pb.voxels, pb.coors, pb.num_points, pb.mask, train=False)
+    fused = model.apply(
+        variables, jnp.asarray(pts), train=False,
+        method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_state_dict_roundtrip(rng):
+    model, variables = randomized_variables(CFG, rng)
+    sd = export_torch_state_dict(variables, CFG)
+    back = import_torch_state_dict(sd, CFG)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), flat_b[path])
+
+
+def test_train_mode_runs_and_updates_stats(rng):
+    model, variables = init_model(CFG)
+    pts = make_batch(CFG, rng)
+    pb = pz.pillarize_batch(
+        jnp.asarray(pts), pz.PillarGeometry.from_config(CFG),
+        CFG.max_points_voxel, CFG.max_voxels)
+    out, mutated = model.apply(
+        variables, pb.voxels, pb.coors, pb.num_points, pb.mask, train=True,
+        mutable=["batch_stats"])
+    assert out.shape == (2, CFG.ny, CFG.nx)
+    before = variables["batch_stats"]["encoder_decoder"]["down1"]["conv1"]["bn"]["mean"]
+    after = mutated["batch_stats"]["encoder_decoder"]["down1"]["conv1"]["bn"]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))

@@ -47,8 +47,8 @@ def test_bin_points_golden():
     )
     np.testing.assert_array_equal(np.asarray(bins.cx)[[0, 1, 4]], [0, 7, 3])
     np.testing.assert_array_equal(np.asarray(bins.cy)[[0, 1, 4]], [0, 0, 6])
-    np.testing.assert_array_equal(np.asarray(bins.cell3d)[[0, 1, 4]], [0, 7, 51])
-    assert np.asarray(bins.cell3d)[2] == GEOM.num_cells_3d
+    np.testing.assert_array_equal(np.asarray(bins.cell)[[0, 1, 4]], [0, 7, 51])
+    assert np.asarray(bins.cell)[2] == GEOM.num_cells_3d
 
 
 def test_rank_within_cell():
@@ -65,7 +65,7 @@ def test_rank_within_cell():
         np.float32,
     )
     bins = bin_points(jnp.asarray(pts), GEOM)
-    ranks = count_and_rank(bins, GEOM, max_points=3)
+    ranks = count_and_rank(bins, max_points=3)
     np.testing.assert_array_equal(np.asarray(ranks.rank), [0, 0, 1, 2, 1, 3])
     np.testing.assert_array_equal(
         np.asarray(ranks.kept), [True, True, True, True, True, False]
@@ -131,7 +131,7 @@ def test_decorate_points_matches_pillar_decoration(rng):
     pts = make_cloud(rng, n=400)
     max_points = 5
     bins = bin_points(jnp.asarray(pts), GEOM)
-    ranks = count_and_rank(bins, GEOM, max_points)
+    ranks = count_and_rank(bins, max_points)
     flat, kept = decorate_points(jnp.asarray(pts), bins, ranks, GEOM,
                                  with_distance=True)
 
@@ -163,11 +163,12 @@ def test_scatter_max_canvas_golden():
     pts = np.array(
         [[0.1, 0.1, 0, 0], [0.2, 0.2, 0, 0], [1.5, 2.5, 0, 0]], np.float32)
     bins = bin_points(jnp.asarray(pts), GEOM)
-    ranks = count_and_rank(bins, GEOM, max_points=4)
+    ranks = count_and_rank(bins, max_points=4)
     feats = jnp.asarray(
         np.array([[1.0, 5.0], [2.0, 3.0], [7.0, 0.5]], np.float32))
     canvas = scatter_max_canvas(feats, bins, ranks, GEOM, max_points=4)
-    canvas = np.asarray(canvas)
+    assert canvas.shape == (1, 8, 8, 2)
+    canvas = np.asarray(canvas)[0]
     np.testing.assert_allclose(canvas[0, 0], [2.0, 5.0])
     np.testing.assert_allclose(canvas[2, 1], [7.0, 0.5])
     assert np.count_nonzero(canvas) == 4
@@ -175,7 +176,7 @@ def test_scatter_max_canvas_golden():
     # padding-row floor: both cells have < max_points points.
     floor = jnp.asarray(np.array([3.0, 4.0], np.float32))
     canvas2 = np.asarray(
-        scatter_max_canvas(feats, bins, ranks, GEOM, 4, pad_floor=floor))
+        scatter_max_canvas(feats, bins, ranks, GEOM, 4, pad_floor=floor))[0]
     np.testing.assert_allclose(canvas2[0, 0], [3.0, 5.0])
     np.testing.assert_allclose(canvas2[2, 1], [7.0, 4.0])
     assert np.all(canvas2[1, 1] == 0)  # empty cells stay zero
