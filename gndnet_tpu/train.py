@@ -1,0 +1,233 @@
+"""Training: jitted train/eval steps + the epoch orchestration loop.
+
+Replaces reference training.py end-to-end with one crucial structural change:
+the reference voxelizes each sample in a host python loop every step
+(training.py:131-143) and only then ships tensors to the device; here the
+*raw point batch* is shipped and the entire
+pillarize -> PFN -> scatter -> SegNet -> loss -> SGD step is one jitted XLA
+program (fused path), so pillarization runs on the TPU and the host only
+feeds (B, N, F) arrays.
+
+Optimizer parity: torch SGD(momentum=0.9, weight_decay=5e-4) applies the
+weight decay to the gradient before the momentum buffer (reference:
+training.py:99); the optax chain add_decayed_weights -> trace -> scale(-lr)
+reproduces that update order exactly, with the StepLR(15, 0.8) schedule
+(training.py:100) folded in per step.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gndnet_tpu import losses
+from gndnet_tpu.checkpoint import CheckpointManager
+from gndnet_tpu.config import GndNetConfig
+from gndnet_tpu.data.provider import GroundDataset, iterate_batches, prefetch_to_device
+from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+from gndnet_tpu.ops import pillarize as pz
+from gndnet_tpu.utils.logging import AverageMeter, setup_logger
+from gndnet_tpu.utils.schedules import step_lr
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(cfg: GndNetConfig, steps_per_epoch: int) -> optax.GradientTransformation:
+    """torch-SGD-equivalent chain with StepLR; see module docstring."""
+    schedule = step_lr(cfg.lr, cfg.lr_step_size, cfg.lr_gamma, steps_per_epoch)
+    return optax.chain(
+        optax.add_decayed_weights(cfg.weight_decay),
+        optax.trace(decay=cfg.momentum, nesterov=False),
+        optax.scale_by_schedule(lambda s: -schedule(s)),
+    )
+
+
+def create_train_state(cfg: GndNetConfig, steps_per_epoch: int,
+                       seed: int = 0):
+    model, variables = init_model(cfg, seed)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+    )
+    return model, tx, state
+
+
+def loss_fn(cfg: GndNetConfig):
+    return partial(losses.total_loss, alpha=cfg.alpha, beta=cfg.beta)
+
+
+def make_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
+                    use_pillar_path: bool = False) -> Callable:
+    """Build the jitted fused train step: (state, points, labels) -> (state, loss).
+
+    `use_pillar_path=True` routes through the materialized-pillar forward
+    (needed for use_norm training, where BatchNorm statistics must see the
+    padded pillar tensor exactly like the reference)."""
+    total = loss_fn(cfg)
+    geom = pz.PillarGeometry.from_config(cfg)
+
+    def step(state: TrainState, points, labels):
+        def compute(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            if use_pillar_path:
+                pb = pz.pillarize_batch(
+                    points, geom, cfg.max_points_voxel, cfg.max_voxels)
+                pred, mut = model.apply(
+                    variables, pb.voxels, pb.coors, pb.num_points, pb.mask,
+                    train=True, mutable=["batch_stats"])
+            else:
+                pred, mut = model.apply(
+                    variables, points, train=True, mutable=["batch_stats"],
+                    method=GroundEstimatorNet.fused)
+            return total(pred, labels), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        ), loss
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_eval_step(model: GroundEstimatorNet, cfg: GndNetConfig,
+                   use_pillar_path: bool = False) -> Callable:
+    total = loss_fn(cfg)
+    geom = pz.PillarGeometry.from_config(cfg)
+
+    def step(state: TrainState, points, labels):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if use_pillar_path:
+            pb = pz.pillarize_batch(
+                points, geom, cfg.max_points_voxel, cfg.max_voxels)
+            pred = model.apply(
+                variables, pb.voxels, pb.coors, pb.num_points, pb.mask,
+                train=False)
+        else:
+            pred = model.apply(
+                variables, points, train=False,
+                method=GroundEstimatorNet.fused)
+        return total(pred, labels)
+
+    return jax.jit(step)
+
+
+def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
+                       epochs: int | None = None,
+                       resume: bool = False,
+                       save_checkpoints: bool = True,
+                       print_freq: int = 100,
+                       seed: int = 0,
+                       train_skip: int = 6, valid_skip: int = 3,
+                       logger=None) -> dict:
+    """Full training orchestration (reference training.py main loop:
+    train -> validate -> scheduler step -> checkpoint-if-best, :284-305).
+
+    Returns {'train_loss': [...], 'valid_loss': [...], 'lowest_loss': float}.
+    """
+    logger = logger or setup_logger(
+        "train", os.path.join(workdir, "training.log"))
+    epochs = cfg.epochs if epochs is None else epochs
+
+    train_ds = GroundDataset(
+        cfg.data_dir, "training", train_skip, cfg.input_features,
+        max_memory=cfg.max_memory * 2**20, logger=logger)
+    try:
+        valid_ds = GroundDataset(
+            cfg.data_dir, "validation", valid_skip, cfg.input_features,
+            max_memory=cfg.max_memory * 2**20, logger=logger)
+    except FileNotFoundError:
+        logger.warning("no validation split; validating on training data")
+        valid_ds = train_ds
+
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    # use_norm training must see padded pillar tensors for BN parity.
+    use_pillar_path = bool(cfg.use_norm)
+    model, tx, state = create_train_state(cfg, steps_per_epoch, seed)
+    train_step = make_train_step(model, tx, cfg, use_pillar_path)
+    eval_step = make_eval_step(model, cfg, use_pillar_path)
+
+    mgr = CheckpointManager(os.path.join(workdir, "checkpoints")) \
+        if save_checkpoints else None
+    start_epoch = 0
+    lowest_loss = float("inf")
+    if resume and mgr is not None and mgr.latest_step() is not None:
+        template = {"state": state, "epoch": 0, "lowest_loss": 0.0}
+        restored = mgr.restore(template=template)
+        state = restored["state"]
+        start_epoch = int(restored["epoch"])
+        lowest_loss = float(restored["lowest_loss"])
+        logger.info("resumed from epoch %d (lowest %.6f)",
+                    start_epoch, lowest_loss)
+
+    history = {"train_loss": [], "valid_loss": []}
+    for epoch in range(start_epoch, epochs):
+        # --- train ---
+        batch_time, data_time, meter = AverageMeter(), AverageMeter(), AverageMeter()
+        start = time.time()
+        it = prefetch_to_device(iterate_batches(
+            train_ds, cfg.batch_size, shuffle=True, drop_last=True,
+            seed=seed, epoch=epoch))
+        for i, (points, labels) in enumerate(it):
+            data_time.update(time.time() - start)
+            state, loss = train_step(state, points, labels)
+            meter.update(float(loss), points.shape[0])
+            batch_time.update(time.time() - start)
+            start = time.time()
+            if i % print_freq == 0:
+                logger.debug(
+                    "Epoch: [%d][%d/%d]\tTime %.3f (%.3f)\tData %.3f (%.3f)\t"
+                    "Loss %.6f (%.6f)", epoch, i, steps_per_epoch,
+                    batch_time.val, batch_time.avg, data_time.val,
+                    data_time.avg, meter.val, meter.avg)
+        history["train_loss"].append(meter.avg)
+
+        # --- validate ---
+        vmeter = AverageMeter()
+        vit = prefetch_to_device(iterate_batches(
+            valid_ds, cfg.batch_size, shuffle=True, drop_last=True,
+            seed=seed + 999, epoch=epoch))
+        for i, (points, labels) in enumerate(vit):
+            vloss = eval_step(state, points, labels)
+            vmeter.update(float(vloss), points.shape[0])
+            if i % print_freq == 0:
+                logger.debug("Test: [%d/%d]\tLoss %.4f (%.4f)",
+                             i, max(len(valid_ds) // cfg.batch_size, 1),
+                             vmeter.val, vmeter.avg)
+        history["valid_loss"].append(vmeter.avg)
+        logger.info("epoch %d: train %.6f valid %.6f",
+                    epoch, meter.avg, vmeter.avg)
+
+        if mgr is not None:
+            is_best = vmeter.avg < lowest_loss
+            lowest_loss = min(vmeter.avg, lowest_loss)
+            mgr.save(
+                epoch + 1,
+                {"state": jax.device_get(state), "epoch": epoch + 1,
+                 "lowest_loss": lowest_loss},
+                is_best=is_best)
+
+    history["lowest_loss"] = lowest_loss
+    history["state"] = state
+    return history

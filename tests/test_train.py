@@ -1,0 +1,191 @@
+"""Losses vs torch, optimizer parity vs torch SGD, and training smoke tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+import torch
+
+from gndnet_tpu import losses
+from gndnet_tpu.config import GndNetConfig
+from gndnet_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizer,
+    make_train_step,
+)
+from gndnet_tpu.utils import schedules
+
+CFG = GndNetConfig(
+    pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+    grid_range=(0.0, -8.0, 16.0, 8.0),
+    voxel_size=(1.0, 1.0, 8.0),
+    max_points_voxel=20,
+    max_voxels=256,
+    input_features=4,
+    batch_size=2,
+    use_norm=False,
+    lr=0.05,
+)
+
+
+# ---------------------------------------------------------------------------
+# losses vs torch
+# ---------------------------------------------------------------------------
+
+def test_smooth_l1_matches_torch(rng):
+    a = rng.normal(size=(2, 10, 10)).astype(np.float32) * 3
+    b = rng.normal(size=(2, 10, 10)).astype(np.float32)
+    want = torch.nn.SmoothL1Loss(reduction="mean")(
+        torch.from_numpy(a), torch.from_numpy(b)).item()
+    got = float(losses.smooth_l1(jnp.asarray(a), jnp.asarray(b)))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_spatial_smooth_matches_reference_formula(rng):
+    """Reproduce the reference SpatialSmoothLoss in torch and compare
+    (modules/loss_func.py:17-28)."""
+    p = rng.normal(size=(3, 12, 9)).astype(np.float32)
+
+    t = torch.from_numpy(p)
+
+    def gradient(pred):
+        d_dy = pred[:, 1:] - pred[:, :-1]
+        d_dx = pred[:, :, 1:] - pred[:, :, :-1]
+        return d_dx, d_dy
+
+    dx, dy = gradient(t)
+    dx2, dxdy = gradient(dx)
+    dydx, dy2 = gradient(dy)
+    want = (dx2.abs().mean(axis=(1, 2)) + dxdy.abs().mean(axis=(1, 2))
+            + dydx.abs().mean(axis=(1, 2))
+            + dy2.abs().mean(axis=(1, 2))).mean().item()
+    got = float(losses.spatial_smooth_loss(jnp.asarray(p)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_masked_huber_matches_torch(rng):
+    a = rng.normal(size=(2, 8, 8)).astype(np.float32) * 2
+    b = rng.normal(size=(2, 8, 8)).astype(np.float32)
+    m = (rng.uniform(size=(2, 8, 8)) > 0.4).astype(np.float32)
+    lt = torch.nn.SmoothL1Loss(reduction="none")(
+        torch.from_numpy(a * m), torch.from_numpy(b * m))
+    lt = lt.sum(dim=(1, 2)) / torch.from_numpy(m).sum(dim=(1, 2))
+    want = lt.mean().item()
+    got = float(losses.masked_huber_loss(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(m)))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# optimizer parity vs torch SGD(momentum, weight_decay) + StepLR
+# ---------------------------------------------------------------------------
+
+def test_sgd_chain_matches_torch(rng):
+    w0 = rng.normal(size=(5, 3)).astype(np.float32)
+    steps_per_epoch = 2
+
+    # torch side: quadratic loss 0.5*||w||^2 -> grad = w
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    opt = torch.optim.SGD([wt], lr=0.1, momentum=0.9, weight_decay=5e-4)
+    sched = torch.optim.lr_scheduler.StepLR(opt, step_size=2, gamma=0.5)
+    torch_traj = []
+    for epoch in range(5):
+        for _ in range(steps_per_epoch):
+            opt.zero_grad()
+            loss = 0.5 * (wt ** 2).sum()
+            loss.backward()
+            opt.step()
+        sched.step()
+        torch_traj.append(wt.detach().numpy().copy())
+
+    # optax side
+    cfg = CFG.replace(lr=0.1, lr_step_size=2, lr_gamma=0.5,
+                      momentum=0.9, weight_decay=5e-4)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    params = jnp.asarray(w0)
+    opt_state = tx.init(params)
+    ours = []
+    for epoch in range(5):
+        for _ in range(steps_per_epoch):
+            grads = params  # grad of 0.5*||w||^2
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        ours.append(np.asarray(params))
+
+    for a, b in zip(torch_traj, ours):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_schedules_shapes():
+    s = schedules.manual_stepping([10, 20], [1.0, 0.5, 0.1])
+    assert float(s(0)) == pytest.approx(1.0)
+    assert float(s(10)) == pytest.approx(0.5)
+    assert float(s(25)) == pytest.approx(0.1)
+    e = schedules.exponential_decay_with_burnin(1.0, 10, 0.5,
+                                                burnin_learning_rate=0.01,
+                                                burnin_steps=5)
+    assert float(e(0)) == pytest.approx(0.01)
+    assert float(e(10)) == pytest.approx(0.5)
+    c = schedules.cosine_decay_with_warmup(1.0, 100, 0.0, warmup_steps=10)
+    assert float(c(0)) == pytest.approx(0.0)
+    assert float(c(10)) == pytest.approx(1.0, abs=1e-3)
+    assert float(c(100)) == pytest.approx(0.0, abs=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training smoke: loss decreases on a synthetic task
+# ---------------------------------------------------------------------------
+
+def _synthetic_batch(rng, cfg, b=2, n=600):
+    """Points on a sloped plane + obstacles; labels = the plane's heights."""
+    pts = np.zeros((b, n, cfg.input_features), np.float32)
+    x = rng.uniform(cfg.pc_range[0], cfg.pc_range[3], (b, n))
+    y = rng.uniform(cfg.pc_range[1], cfg.pc_range[4], (b, n))
+    z = 0.05 * x - 0.5 + rng.normal(0, 0.02, (b, n))
+    pts[..., 0], pts[..., 1], pts[..., 2] = x, y, z
+    xs = np.arange(cfg.nx) * cfg.voxel_size[0] + cfg.pc_range[0] + 0.5
+    labels = np.broadcast_to(
+        (0.05 * xs - 0.5)[None, None, :], (b, cfg.ny, cfg.nx)
+    ).astype(np.float32)
+    return jnp.asarray(pts), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("use_pillar", [False])
+def test_training_reduces_loss(rng, use_pillar):
+    cfg = CFG
+    model, tx, state = create_train_state(cfg, steps_per_epoch=10)
+    train_step = make_train_step(model, tx, cfg, use_pillar_path=use_pillar)
+    pts, labels = _synthetic_batch(rng, cfg)
+    state, first = train_step(state, pts, labels)
+    losses_seen = [float(first)]
+    for _ in range(30):
+        state, loss = train_step(state, pts, labels)
+        losses_seen.append(float(loss))
+    assert losses_seen[-1] < 0.5 * losses_seen[0], losses_seen[:3] + losses_seen[-3:]
+    assert int(state.step) == 31
+
+
+def test_eval_step_deterministic(rng):
+    cfg = CFG
+    model, tx, state = create_train_state(cfg, steps_per_epoch=10)
+    eval_step = make_eval_step(model, cfg)
+    pts, labels = _synthetic_batch(rng, cfg)
+    a = float(eval_step(state, pts, labels))
+    b = float(eval_step(state, pts, labels))
+    assert a == b
+
+
+def test_use_norm_training_pillar_path(rng):
+    cfg = CFG.replace(use_norm=True)
+    model, tx, state = create_train_state(cfg, steps_per_epoch=10)
+    train_step = make_train_step(model, tx, cfg, use_pillar_path=True)
+    pts, labels = _synthetic_batch(rng, cfg)
+    before = np.asarray(
+        state.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]["mean"])
+    state, loss = train_step(state, pts, labels)
+    after = np.asarray(
+        state.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]["mean"])
+    assert np.isfinite(float(loss))
+    assert not np.allclose(before, after)
