@@ -1,0 +1,221 @@
+"""Inference: single-scan engine + free-wheeling streaming server.
+
+Replaces the reference's two serving paths with one compiled program:
+
+* `InferGround`-style single scan (reference: predict_ground.py:110-121):
+  shift cloud -> voxelize -> forward.  Here the whole
+  shift -> pillarize -> PFN -> scatter -> SegNet -> per-point threshold
+  segmentation chain is ONE jitted XLA program; the host only moves a
+  (N, F) array in and (ny, nx) + (N,) arrays out.
+
+* the ROS node's decoupled inference thread (reference: ros_node.py:51-138):
+  `StreamingEngine` reproduces the latest-value-mailbox pattern — a daemon
+  thread free-wheels on the newest input, the producer never blocks, and
+  consumers read the latest (possibly one frame stale) output — with the
+  reference's synthetic-plane warmup standing in for CUDA warmup as an XLA
+  compile priming step (ros_node.py:73-95).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gndnet_tpu.config import GndNetConfig
+from gndnet_tpu.models.gndnet import GroundEstimatorNet
+from gndnet_tpu.ops.postproc import segment_cloud
+
+_PAD_SENTINEL = 1e9  # pads bin far out of range -> seg label -1, no pillar
+
+
+class GroundInferenceEngine:
+    """Compiled scan -> (elevation map, per-point segmentation) engine.
+
+    Args:
+      cfg: model config.
+      variables: flax variables ({'params', 'batch_stats'}).
+      threshold: segmentation threshold (reference uses 0.08 in
+        predict_ground.py:168, 0.0 in evaluate_SemanticKITTI.py:189, 0.16 in
+        ros_node.py:274).
+      shift_cloud: add cfg.lidar_height to z before inference (reference
+        predict_ground.py:104-113); None uses cfg.shift_cloud.
+      bucket: pad scans up to a multiple of this many points so arbitrary
+        scan sizes hit a small set of compiled shapes.
+    """
+
+    def __init__(self, cfg: GndNetConfig, variables, threshold: float = 0.08,
+                 shift_cloud: bool | None = None, bucket: int = 2 ** 14):
+        self.cfg = cfg
+        self.threshold = float(threshold)
+        self.shift = cfg.shift_cloud if shift_cloud is None else shift_cloud
+        self.bucket = bucket
+        self.model = GroundEstimatorNet(cfg)
+        self._variables = variables
+        self._fn = self._build()
+
+    def _build(self) -> Callable:
+        cfg = self.cfg
+        shift = jnp.asarray(
+            [0.0, 0.0, cfg.lidar_height if self.shift else 0.0]
+            + [0.0] * (cfg.input_features - 3), jnp.float32)
+        grid_range = cfg.grid_range
+        cell = cfg.voxel_size[0]
+        thr = self.threshold
+
+        def run(variables, points):
+            pts = points + shift
+            pred = self.model.apply(
+                variables, pts[None], train=False,
+                method=GroundEstimatorNet.fused)[0]        # (ny, nx)
+            # reference segments with elevation_map=pred.T and the ORIGINAL
+            # (unshifted) cloud z when loading .bin scans is pre-shifted by
+            # InferGround itself; we match its post-shift comparison
+            # (predict_ground.py:168 passes `points` already shifted at :135).
+            labels = segment_cloud(pts, grid_range, cell, pred.T, thr)
+            # int8 labels quarter the device->host traffic; values {-1, 0, 1}.
+            return pred, labels.astype(jnp.int8)
+
+        self._run = run   # unjitted, for callers composing larger programs
+        return jax.jit(run)
+
+    def _pad(self, points: np.ndarray) -> np.ndarray:
+        n = points.shape[0]
+        target = max(self.bucket, -(-n // self.bucket) * self.bucket)
+        if n == target:
+            return points
+        pad = np.full((target - n, points.shape[1]), _PAD_SENTINEL,
+                      points.dtype)
+        return np.concatenate([points, pad])
+
+    def _prepare(self, points: np.ndarray) -> tuple:
+        points = np.asarray(points, np.float32)
+        f = self.cfg.input_features
+        if points.shape[1] < f:
+            points = np.concatenate(
+                [points, np.zeros((points.shape[0], f - points.shape[1]),
+                                  np.float32)], axis=1)
+        return self._pad(points[:, :f]), points.shape[0]
+
+    def infer_async(self, points: np.ndarray) -> tuple:
+        """Non-blocking submit: returns (n, pred_dev, labels_dev) device
+        arrays immediately (JAX async dispatch).  Interleave several
+        infer_async calls before materializing to overlap host<->device
+        transfers with compute (the serving fast path)."""
+        padded, n = self._prepare(points)
+        pred, labels = self._fn(self._variables, padded)
+        return n, pred, labels
+
+    def infer(self, points: np.ndarray) -> tuple:
+        """points: (N, >=3) float32 (extra feature columns beyond
+        cfg.input_features are ignored; missing ones zero-padded).
+        Returns (elevation (ny, nx) np.float32, labels (N,) np.int8
+        with values {1: obstacle, 0: ground, -1: out of grid})."""
+        n, pred, labels = self.infer_async(points)
+        return np.asarray(pred), np.asarray(labels)[:n]
+
+    def infer_pipelined(self, scans, depth: int = 3):
+        """Generator yielding (elevation, labels) per scan with a `depth`-deep
+        dispatch pipeline so transfer and compute overlap across scans —
+        sustained-throughput serving (the measured path of bench.py)."""
+        from collections import deque
+
+        inflight = deque()
+        for scan in scans:
+            inflight.append(self.infer_async(scan))
+            if len(inflight) >= depth:
+                n, pred, labels = inflight.popleft()
+                yield np.asarray(pred), np.asarray(labels)[:n]
+        while inflight:
+            n, pred, labels = inflight.popleft()
+            yield np.asarray(pred), np.asarray(labels)[:n]
+
+    def warmup(self, n: int | None = None) -> float:
+        """Prime the XLA compile with a synthetic flat-plane scan (the
+        reference's `dryrun`, ros_node.py:73-95).  Returns compile seconds."""
+        n = n or self.cfg.num_points
+        rng = np.random.default_rng(0)
+        pts = np.zeros((n, self.cfg.input_features), np.float32)
+        pts[:, 0] = rng.uniform(self.cfg.pc_range[0], self.cfg.pc_range[3], n)
+        pts[:, 1] = rng.uniform(self.cfg.pc_range[1], self.cfg.pc_range[4], n)
+        pts[:, 2] = -self.cfg.lidar_height
+        t0 = time.time()
+        pred, labels = self._fn(self._variables, self._pad(pts))
+        jax.block_until_ready((pred, labels))
+        return time.time() - t0
+
+
+class StreamingEngine:
+    """Latest-value-mailbox streaming server around a GroundInferenceEngine.
+
+    Free-wheeling daemon thread: always processes the newest submitted scan,
+    dropping stale ones (reference InferenceThread, ros_node.py:51-138).
+    `submit` never blocks; `latest` returns the newest completed result (or
+    None before the first inference finishes)."""
+
+    def __init__(self, engine: GroundInferenceEngine, warmup: bool = True):
+        self.engine = engine
+        self._in_lock = threading.Lock()
+        self._input = None
+        self._input_seq = 0
+        self._out_lock = threading.Lock()
+        self._output = None
+        self._output_seq = 0
+        self._event = threading.Event()
+        self._running = False
+        self._thread = None
+        self.processed = 0
+        self.errors = 0
+        if warmup:
+            self.compile_seconds = engine.warmup()
+
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._running = False
+        self._event.set()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def submit(self, points: np.ndarray) -> int:
+        """Hand a new scan to the engine (non-blocking); returns its seq no."""
+        with self._in_lock:
+            self._input_seq += 1
+            self._input = (self._input_seq, points)
+        self._event.set()
+        return self._input_seq
+
+    def latest(self):
+        """Newest completed (seq, elevation, labels) or None.
+
+        May lag `submit` by one scan — the reference reads possibly-stale
+        output the same way (ros_node.py:268-270)."""
+        with self._out_lock:
+            return self._output
+
+    def _loop(self):
+        while self._running:
+            self._event.wait(timeout=0.1)
+            with self._in_lock:
+                item, self._input = self._input, None
+                self._event.clear()
+            if item is None:
+                continue
+            seq, points = item
+            try:
+                pred, labels = self.engine.infer(points)
+            except Exception:   # keep serving (reference ros_node.py:116-120)
+                self.errors += 1
+                continue
+            with self._out_lock:
+                self._output = (seq, pred, labels)
+                self._output_seq = seq
+            self.processed += 1

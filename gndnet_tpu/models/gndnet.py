@@ -35,6 +35,7 @@ from gndnet_tpu.ops.scatter import scatter_pillars_to_canvas
 
 class GroundEstimatorNet(nn.Module):
     cfg: GndNetConfig
+    bn_axis: str | None = None   # mesh axis name for sync-BN under shard_map
 
     def setup(self):
         self.geom = pz.PillarGeometry.from_config(self.cfg)
@@ -42,6 +43,7 @@ class GroundEstimatorNet(nn.Module):
             num_filters=self.cfg.vfe_filters,
             use_norm=self.cfg.use_norm,
             precision=self.cfg.matmul_precision,
+            bn_axis=self.bn_axis,
             name="voxel_feature_extractor",
         )
         dtype = jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -49,6 +51,7 @@ class GroundEstimatorNet(nn.Module):
             in_channels=self.cfg.vfe_filters[-1],
             dtype=dtype,
             precision=self.cfg.matmul_precision,
+            bn_axis=self.bn_axis,
             name="encoder_decoder",
         )
 

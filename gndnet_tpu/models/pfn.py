@@ -29,6 +29,7 @@ class PFNLayer(nn.Module):
     use_norm: bool = True
     last_layer: bool = False
     precision: str = "highest"
+    bn_axis: str | None = None
 
     @property
     def units(self) -> int:
@@ -40,7 +41,8 @@ class PFNLayer(nn.Module):
         if self.use_norm:
             # torch BatchNorm1d(eps=1e-3, momentum=0.01): flax momentum is the
             # running-average retention factor, i.e. 1 - torch_momentum.
-            self.norm = nn.BatchNorm(momentum=0.99, epsilon=1e-3)
+            self.norm = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
+                                     axis_name=self.bn_axis)
 
     def activate_flat(self, x, train: bool = False):
         """Linear(+BN)+ReLU on an arbitrary (..., Cin) tensor.
@@ -80,6 +82,7 @@ class PillarFeatureNet(nn.Module):
     num_filters: Sequence[int] = (64,)
     use_norm: bool = False
     precision: str = "highest"
+    bn_axis: str | None = None
 
     def setup(self):
         n = len(self.num_filters)
@@ -89,6 +92,7 @@ class PillarFeatureNet(nn.Module):
                 use_norm=self.use_norm,
                 last_layer=(i == n - 1),
                 precision=self.precision,
+                bn_axis=self.bn_axis,
                 name=f"pfn_{i}",
             )
             for i, f in enumerate(self.num_filters)

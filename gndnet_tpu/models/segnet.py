@@ -29,6 +29,7 @@ class ConvBNRelu(nn.Module):
     filters: int
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bn_axis: str | None = None   # mesh axis for cross-device sync-BN
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -39,7 +40,7 @@ class ConvBNRelu(nn.Module):
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, name="bn",
+            dtype=jnp.float32, axis_name=self.bn_axis, name="bn",
         )(x)
         return nn.relu(x)
 
@@ -48,11 +49,14 @@ class SegnetDown2(nn.Module):
     filters: int
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bn_axis: str | None = None   # mesh axis for cross-device sync-BN
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBNRelu(self.filters, self.dtype, self.precision, name="conv1")(x, train)
-        x = ConvBNRelu(self.filters, self.dtype, self.precision, name="conv2")(x, train)
+        x = ConvBNRelu(self.filters, self.dtype, self.precision,
+                       self.bn_axis, name="conv1")(x, train)
+        x = ConvBNRelu(self.filters, self.dtype, self.precision,
+                       self.bn_axis, name="conv2")(x, train)
         unpooled_hw = x.shape[1:3]
         pooled, idx = max_pool_argmax(x)
         return pooled, idx, unpooled_hw
@@ -66,12 +70,15 @@ class SegnetUp2(nn.Module):
     out_filters: int
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, idx, out_hw, train: bool = False):
         x = max_unpool(x, idx, out_hw)
-        x = ConvBNRelu(self.in_filters, self.dtype, self.precision, name="conv1")(x, train)
-        x = ConvBNRelu(self.out_filters, self.dtype, self.precision, name="conv2")(x, train)
+        x = ConvBNRelu(self.in_filters, self.dtype, self.precision,
+                       self.bn_axis, name="conv1")(x, train)
+        x = ConvBNRelu(self.out_filters, self.dtype, self.precision,
+                       self.bn_axis, name="conv2")(x, train)
         return x
 
 
@@ -82,13 +89,18 @@ class SegnetGndEst(nn.Module):
     in_channels: int = 64
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        down1, idx1, hw1 = SegnetDown2(128, self.dtype, self.precision, name="down1")(x, train)
-        down2, idx2, hw2 = SegnetDown2(256, self.dtype, self.precision, name="down2")(down1, train)
-        up2 = SegnetUp2(256, 128, self.dtype, self.precision, name="up2")(down2, idx2, hw2, train)
-        up1 = SegnetUp2(128, 64, self.dtype, self.precision, name="up1")(up2, idx1, hw1, train)
+        down1, idx1, hw1 = SegnetDown2(128, self.dtype, self.precision,
+                                       self.bn_axis, name="down1")(x, train)
+        down2, idx2, hw2 = SegnetDown2(256, self.dtype, self.precision,
+                                       self.bn_axis, name="down2")(down1, train)
+        up2 = SegnetUp2(256, 128, self.dtype, self.precision,
+                        self.bn_axis, name="up2")(down2, idx2, hw2, train)
+        up1 = SegnetUp2(128, 64, self.dtype, self.precision,
+                        self.bn_axis, name="up1")(up2, idx1, hw1, train)
         pred = nn.Conv(
             1, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype,
             precision=jax.lax.Precision(self.precision), name="regressor",

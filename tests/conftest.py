@@ -3,12 +3,22 @@ run without TPU hardware (SURVEY.md section 4, test-strategy item 4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set (the driver environment pre-sets JAX_PLATFORMS=axon — the real
+# TPU tunnel — which must not leak into unit tests).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# A site hook (PYTHONPATH=/root/.axon_site) re-pins jax to the axon TPU at
+# import time regardless of the env var; override it post-import.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.device_count() >= 8, (
+    f"expected 8 virtual CPU devices, got {jax.devices()}")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

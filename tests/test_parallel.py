@@ -1,0 +1,147 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gndnet_tpu.config import GndNetConfig
+from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+from gndnet_tpu.parallel.mesh import (
+    make_dp_eval_step,
+    make_dp_infer,
+    make_dp_train_step,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from gndnet_tpu.parallel.spatial import make_spatial_infer, make_spmd_train_step
+from gndnet_tpu.train import create_train_state, make_train_step
+
+CFG = GndNetConfig(
+    pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+    grid_range=(0.0, -8.0, 16.0, 8.0),
+    voxel_size=(1.0, 1.0, 8.0),
+    max_points_voxel=16,
+    max_voxels=256,
+    input_features=4,
+    batch_size=4,
+    use_norm=False,
+    lr=0.05,
+)
+
+
+def batch(rng, b=4, n=512):
+    pts = np.zeros((b, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.2, 15.8, (b, n))
+    pts[..., 1] = rng.uniform(-7.8, 7.8, (b, n))
+    pts[..., 2] = 0.05 * pts[..., 0] - 0.5 + rng.normal(0, 0.05, (b, n))
+    labels = np.zeros((b, CFG.ny, CFG.nx), np.float32)
+    xs = np.arange(CFG.nx) + 0.5
+    labels[:] = (0.05 * xs - 0.5)[None, None, :]
+    return jnp.asarray(pts), jnp.asarray(labels)
+
+
+def test_device_count():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_dp_train_matches_single_device(rng):
+    pts, labels = batch(rng)
+    model, tx, state0 = create_train_state(CFG, steps_per_epoch=10)
+
+    single = make_train_step(model, tx, CFG)
+    s_single, loss_single = single(
+        jax.tree_util.tree_map(jnp.copy, state0), pts, labels)
+
+    mesh = make_mesh(dp=4, sp=1)
+    dp_step = make_dp_train_step(model, tx, CFG, mesh)
+    state_r = replicate(mesh, jax.tree_util.tree_map(jnp.copy, state0))
+    pts_s, labels_s = shard_batch(mesh, (pts, labels))
+    s_dp, loss_dp = dp_step(state_r, pts_s, labels_s)
+
+    assert float(loss_dp) == pytest.approx(float(loss_single), rel=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s_single.params),
+                      jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-4, atol=1e-6)
+    # true sync-BN: running stats (mean AND var) match the full-batch step.
+    for key in ("mean", "var"):
+        a = np.asarray(
+            s_single.batch_stats["encoder_decoder"]["down1"]["conv1"]["bn"][key])
+        b = np.asarray(
+            s_dp.batch_stats["encoder_decoder"]["down1"]["conv1"]["bn"][key])
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_dp_eval_and_infer(rng):
+    pts, labels = batch(rng)
+    model, tx, state = create_train_state(CFG, steps_per_epoch=10)
+    mesh = make_mesh(dp=4, sp=1)
+    ev = make_dp_eval_step(model, CFG, mesh)
+    loss = ev(replicate(mesh, state), *shard_batch(mesh, (pts, labels)))
+    assert np.isfinite(float(loss))
+
+    inf = make_dp_infer(model, CFG, mesh)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    out = inf(replicate(mesh, variables), shard_batch(mesh, pts))
+    ref = model.apply(variables, pts, train=False,
+                      method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_spatial_infer_matches_unsharded(rng):
+    """sp=4 halo-exchange SegNet must be bit-comparable to the flax model."""
+    pts, _ = batch(rng)
+    model, variables = init_model(CFG)
+    mesh = make_mesh(dp=2, sp=4)
+    sp_inf = make_spatial_infer(CFG, mesh)
+    out = sp_inf(replicate(mesh, variables), shard_batch(mesh, pts))
+    ref = model.apply(variables, pts, train=False,
+                      method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spmd_train_step_runs_and_learns(rng):
+    pts, labels = batch(rng)
+    mesh = make_mesh(dp=2, sp=4)
+    model, tx, state = create_train_state(CFG, steps_per_epoch=10)
+    step = make_spmd_train_step(model, tx, CFG, mesh)
+    state = replicate(mesh, state)
+    pts_s, labels_s = shard_batch(mesh, (pts, labels))
+    losses = []
+    for _ in range(12):
+        state, loss = step(state, pts_s, labels_s)
+        losses.append(float(loss))
+    assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_spmd_grads_match_single_device(rng):
+    """One dp=1 x sp=4 spatial step must produce the same parameter update as
+    the single-device fused step (same loss, psum'd slab gradients)."""
+    pts, labels = batch(rng, b=2)
+    cfg = CFG.replace(batch_size=2)
+    model, tx, state0 = create_train_state(cfg, steps_per_epoch=10)
+    single = make_train_step(model, tx, cfg)
+    s1, l1 = single(jax.tree_util.tree_map(jnp.copy, state0), pts, labels)
+
+    mesh = make_mesh(dp=1, sp=4)
+    step = make_spmd_train_step(model, tx, cfg, mesh)
+    s2, l2 = step(replicate(mesh, jax.tree_util.tree_map(jnp.copy, state0)),
+                  *shard_batch(mesh, (pts, labels)))
+    assert float(l2) == pytest.approx(float(l1), rel=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_spatial_constraint_errors():
+    mesh = make_mesh(dp=1, sp=2)
+    bad = CFG.replace(pc_range=(0.0, -5.0, -4.0, 16.0, 5.0, 4.0))  # ny=10
+    with pytest.raises(ValueError, match="divisible"):
+        make_spatial_infer(bad, mesh)
+    with pytest.raises(ValueError, match="use_norm"):
+        make_spatial_infer(CFG.replace(use_norm=True), mesh)
