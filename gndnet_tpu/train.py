@@ -161,6 +161,11 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
         logger.warning("no validation split; validating on training data")
         valid_ds = train_ds
 
+    if len(train_ds) < cfg.batch_size:
+        raise ValueError(
+            f"training split has {len(train_ds)} frames < batch_size "
+            f"{cfg.batch_size} (drop_last would yield zero batches); lower "
+            f"batch_size or train_skip")
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
     # use_norm training must see padded pillar tensors for BN parity.
     use_pillar_path = bool(cfg.use_norm)

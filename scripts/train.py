@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Flag-compatible counterpart of the reference's training entry point
+(reference: training.py:63-70): --config / --resume / --evaluate /
+--save_checkpoints / --start_epoch / --print-freq, plus TPU-specific
+--workdir and --epochs override.
+
+Example:
+  python scripts/train.py --config kitti_sem -s --workdir runs/kitti
+  python scripts/train.py --config config/my.yaml --resume --workdir runs/kitti
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="kitti_sem",
+                   help="preset name or YAML path")
+    p.add_argument("--print-freq", "-p", default=100, type=int, metavar="N")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the workdir's latest checkpoint")
+    p.add_argument("-e", "--evaluate", action="store_true",
+                   help="only run validation")
+    p.add_argument("-s", "--save_checkpoints", action="store_true")
+    p.add_argument("--workdir", default=".")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train_skip", type=int, default=6,
+                   help="use every k-th training frame (reference skip=6)")
+    p.add_argument("--valid_skip", type=int, default=3)
+    args = p.parse_args()
+
+    from gndnet_tpu.config import load_config
+    from gndnet_tpu.train import train_and_evaluate
+    from gndnet_tpu.utils.logging import setup_logger
+
+    cfg = load_config(args.config)
+    if args.data_dir:
+        cfg = cfg.replace(data_dir=args.data_dir)
+    os.makedirs(args.workdir, exist_ok=True)
+    logger = setup_logger("train", os.path.join(args.workdir, "training.log"))
+    logger.info("config: %s", args.config)
+
+    if args.evaluate:
+        hist = train_and_evaluate(
+            cfg, workdir=args.workdir, epochs=0, resume=True,
+            save_checkpoints=False, print_freq=args.print_freq,
+            seed=args.seed, train_skip=args.train_skip,
+            valid_skip=args.valid_skip, logger=logger)
+        logger.info("validation only: %s", hist)
+        return
+
+    hist = train_and_evaluate(
+        cfg, workdir=args.workdir, epochs=args.epochs, resume=args.resume,
+        save_checkpoints=args.save_checkpoints, print_freq=args.print_freq,
+        seed=args.seed, train_skip=args.train_skip,
+        valid_skip=args.valid_skip, logger=logger)
+    logger.info("done: lowest validation loss %.6f", hist["lowest_loss"])
+
+
+if __name__ == "__main__":
+    main()
