@@ -157,7 +157,8 @@ class StreamingEngine:
     `submit` never blocks; `latest` returns the newest completed result (or
     None before the first inference finishes)."""
 
-    def __init__(self, engine: GroundInferenceEngine, warmup: bool = True):
+    def __init__(self, engine: GroundInferenceEngine, warmup: bool = True,
+                 use_native_mailbox: bool | None = None):
         self.engine = engine
         self._in_lock = threading.Lock()
         self._input = None
@@ -170,6 +171,25 @@ class StreamingEngine:
         self._thread = None
         self.processed = 0
         self.errors = 0
+
+        # Input hand-off: prefer the lock-free native triple buffer (the
+        # memcpy runs outside the GIL; producer never blocks) with the python
+        # lock as fallback (native/gndnet_host.cpp mailbox_*).
+        self._mailbox = None
+        self._mailbox_shape = None
+        if use_native_mailbox is not False:
+            try:
+                from gndnet_tpu import native
+
+                if native.available():
+                    f = engine.cfg.input_features
+                    cap = (engine.cfg.num_points * 4 + engine.bucket) * f * 4
+                    self._mailbox = native.NativeMailbox(cap)
+                    self._mailbox_out = np.zeros(cap, np.uint8)
+            except Exception:
+                if use_native_mailbox:
+                    raise
+                self._mailbox = None
         if warmup:
             self.compile_seconds = engine.warmup()
 
@@ -184,9 +204,27 @@ class StreamingEngine:
         self._event.set()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self._mailbox is not None:
+            self._mailbox.close()
+            self._mailbox = None
 
     def submit(self, points: np.ndarray) -> int:
         """Hand a new scan to the engine (non-blocking); returns its seq no."""
+        if self._mailbox is not None:
+            pts = np.ascontiguousarray(points, np.float32)
+            header = np.asarray(pts.shape, np.int64)
+            payload = np.concatenate(
+                [header.view(np.uint8).reshape(-1),
+                 pts.view(np.uint8).reshape(-1)])
+            try:
+                seq = self._mailbox.write(payload)
+            except ValueError:
+                seq = None  # oversized scan: fall through to the lock path
+            if seq is not None:
+                with self._in_lock:
+                    self._input_seq = seq
+                self._event.set()
+                return seq
         with self._in_lock:
             self._input_seq += 1
             self._input = (self._input_seq, points)
@@ -201,12 +239,24 @@ class StreamingEngine:
         with self._out_lock:
             return self._output
 
+    def _poll_input(self):
+        """Newest unseen scan as (seq, points) or None."""
+        if self._mailbox is not None:
+            n, seq = self._mailbox.read_latest(self._mailbox_out)
+            if n > 0:
+                header = self._mailbox_out[:16].view(np.int64)
+                pts = self._mailbox_out[16:n].view(np.float32).reshape(
+                    int(header[0]), int(header[1])).copy()
+                return seq, pts
+        with self._in_lock:
+            item, self._input = self._input, None
+        return item
+
     def _loop(self):
         while self._running:
             self._event.wait(timeout=0.1)
-            with self._in_lock:
-                item, self._input = self._input, None
-                self._event.clear()
+            self._event.clear()
+            item = self._poll_input()
             if item is None:
                 continue
             seq, points = item

@@ -73,16 +73,28 @@ def loss_fn(cfg: GndNetConfig):
 
 
 def make_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
-                    use_pillar_path: bool = False) -> Callable:
+                    use_pillar_path: bool = False,
+                    augment: bool = False) -> Callable:
     """Build the jitted fused train step: (state, points, labels) -> (state, loss).
 
     `use_pillar_path=True` routes through the materialized-pillar forward
     (needed for use_norm training, where BatchNorm statistics must see the
-    padded pillar tensor exactly like the reference)."""
+    padded pillar tensor exactly like the reference).
+
+    `augment=True` applies on-device augmentation (random rotation + height
+    with exact label co-transformation, data/augmentation.device_augment)
+    inside the jitted step, keyed on the step counter — augmented end-to-end
+    TPU training with zero host round-trips (BASELINE.md driver config #5)."""
     total = loss_fn(cfg)
     geom = pz.PillarGeometry.from_config(cfg)
 
     def step(state: TrainState, points, labels):
+        if augment:
+            from gndnet_tpu.data.augmentation import device_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            points, labels = device_augment(points, labels, key, cfg)
+
         def compute(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             if use_pillar_path:

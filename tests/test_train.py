@@ -189,3 +189,25 @@ def test_use_norm_training_pillar_path(rng):
         state.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]["mean"])
     assert np.isfinite(float(loss))
     assert not np.allclose(before, after)
+
+
+def test_augmented_train_step_runs_and_learns(rng):
+    """On-device augmentation inside the jitted step (driver config #5:
+    augmentation + end-to-end TPU training)."""
+    from gndnet_tpu.config import AugmentationConfig
+
+    cfg = CFG.replace(augmentation=AugmentationConfig(
+        num_rotations=1, max_front_slope=5, max_side_tilt=5,
+        max_rotation=30, max_height=0.5))
+    model, tx, state = create_train_state(cfg, steps_per_epoch=10)
+    step = make_train_step(model, tx, cfg, augment=True)
+    pts, labels = _synthetic_batch(rng, cfg)
+    losses_seen = []
+    for _ in range(25):
+        state, loss = step(state, pts, labels)
+        losses_seen.append(float(loss))
+    assert np.isfinite(losses_seen).all()
+    # augmentation keys differ per step -> consecutive losses differ
+    assert len({round(x, 8) for x in losses_seen[-5:]}) > 1
+    # and it still learns the (augment-invariant) plane
+    assert min(losses_seen[-5:]) < 0.7 * losses_seen[0], losses_seen[:3] + losses_seen[-3:]
