@@ -43,6 +43,11 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # Optional flax DynamicScale for fp16-style loss scaling (the TPU-native
+    # replacement for torchplus' fp32-master-copy mixed-precision optimizer,
+    # reference: torchplus/train/optim.py:31-110).  bfloat16 training does
+    # not need it; kept for capability parity and fp16 export targets.
+    dynamic_scale: Any = None
 
 
 def make_optimizer(cfg: GndNetConfig, steps_per_epoch: int) -> optax.GradientTransformation:
@@ -56,14 +61,20 @@ def make_optimizer(cfg: GndNetConfig, steps_per_epoch: int) -> optax.GradientTra
 
 
 def create_train_state(cfg: GndNetConfig, steps_per_epoch: int,
-                       seed: int = 0):
+                       seed: int = 0, loss_scaling: bool = False):
     model, variables = init_model(cfg, seed)
     tx = make_optimizer(cfg, steps_per_epoch)
+    ds = None
+    if loss_scaling:
+        from flax.training import dynamic_scale as dsl
+
+        ds = dsl.DynamicScale()
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables["batch_stats"],
         opt_state=tx.init(variables["params"]),
+        dynamic_scale=ds,
     )
     return model, tx, state
 
@@ -109,6 +120,25 @@ def make_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
                     method=GroundEstimatorNet.fused)
             return total(pred, labels), mut["batch_stats"]
 
+        if state.dynamic_scale is not None:
+            # loss-scaled backward: scale the loss, unscale grads, skip the
+            # update and halve the scale on non-finite gradients (the
+            # reference's nan/inf auto-scale loop, torchplus/train/optim.py).
+            ds, is_finite, (loss, new_stats), grads = (
+                state.dynamic_scale.value_and_grad(
+                    compute, has_aux=True)(state.params))
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            keep = lambda new, old: jax.tree_util.tree_map(
+                lambda n, o: jnp.where(is_finite, n, o), new, old)
+            return TrainState(
+                step=state.step + 1,
+                params=keep(new_params, state.params),
+                batch_stats=keep(new_stats, state.batch_stats),
+                opt_state=keep(new_opt, state.opt_state),
+                dynamic_scale=ds,
+            ), loss
+
         (loss, new_stats), grads = jax.value_and_grad(
             compute, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -118,6 +148,7 @@ def make_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt,
+            dynamic_scale=None,
         ), loss
 
     return jax.jit(step, donate_argnums=(0,))

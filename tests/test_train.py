@@ -211,3 +211,22 @@ def test_augmented_train_step_runs_and_learns(rng):
     assert len({round(x, 8) for x in losses_seen[-5:]}) > 1
     # and it still learns the (augment-invariant) plane
     assert min(losses_seen[-5:]) < 0.7 * losses_seen[0], losses_seen[:3] + losses_seen[-3:]
+
+
+def test_loss_scaled_training(rng):
+    """Dynamic loss scaling (torchplus optim.py capability parity): training
+    still converges and the scale adapts without corrupting parameters."""
+    cfg = CFG
+    model, tx, state = create_train_state(cfg, steps_per_epoch=10,
+                                          loss_scaling=True)
+    step = make_train_step(model, tx, cfg)
+    pts, labels = _synthetic_batch(rng, cfg)
+    losses_seen = []
+    for _ in range(25):
+        state, loss = step(state, pts, labels)
+        losses_seen.append(float(loss))
+    assert np.isfinite(losses_seen).all()
+    assert losses_seen[-1] < 0.6 * losses_seen[0]
+    assert float(state.dynamic_scale.scale) > 0
+    assert np.all([np.isfinite(np.asarray(x)).all()
+                   for x in jax.tree_util.tree_leaves(state.params)])
