@@ -8,6 +8,18 @@ augmentation, training, evaluation, streaming inference, checkpointing,
 and multi-chip sharding.
 """
 
-from gndnet_tpu.config import GndNetConfig, load_config
+from gndnet_tpu.config import (
+    AugmentationConfig,
+    DataPrepConfig,
+    GndNetConfig,
+    load_config,
+)
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "AugmentationConfig",
+    "DataPrepConfig",
+    "GndNetConfig",
+    "load_config",
+]

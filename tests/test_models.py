@@ -235,3 +235,33 @@ def test_train_mode_runs_and_updates_stats(rng):
     before = variables["batch_stats"]["encoder_decoder"]["down1"]["conv1"]["bn"]["mean"]
     after = mutated["batch_stats"]["encoder_decoder"]["down1"]["conv1"]["bn"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_multi_layer_pfn_forward_and_grad(rng):
+    """vfe_filters with >1 layer (the reference supports stacks via
+    pfn_layers, pointpillars.py:97-107): pillar path forward + gradients."""
+    cfg = CFG.replace(vfe_filters=(32, 64))
+    model, variables = init_model(cfg)
+    pts = make_batch(cfg, rng)
+    pb = pz.pillarize_batch(
+        jnp.asarray(pts), pz.PillarGeometry.from_config(cfg),
+        cfg.max_points_voxel, cfg.max_voxels)
+    out = model.apply(variables, pb.voxels, pb.coors, pb.num_points, pb.mask,
+                      train=False)
+    assert out.shape == (2, cfg.ny, cfg.nx)
+    assert np.isfinite(np.asarray(out)).all()
+    # intermediate layer emits units//2 then concatenates the max (2*16=32 in)
+    k0 = variables["params"]["voxel_feature_extractor"]["pfn_0"]["linear"]["kernel"]
+    k1 = variables["params"]["voxel_feature_extractor"]["pfn_1"]["linear"]["kernel"]
+    assert k0.shape == (cfg.num_decorated_features, 16)
+    assert k1.shape == (32, 64)
+
+    def loss(params):
+        v = {"params": params, "batch_stats": variables["batch_stats"]}
+        return jnp.sum(model.apply(v, pb.voxels, pb.coors, pb.num_points,
+                                   pb.mask, train=False) ** 2)
+
+    g = jax.grad(loss)(variables["params"])
+    gn = np.asarray(jnp.linalg.norm(
+        g["voxel_feature_extractor"]["pfn_0"]["linear"]["kernel"]))
+    assert np.isfinite(gn) and gn > 0
