@@ -119,6 +119,9 @@ class GndNetConfig:
     matmul_precision: str = "highest"  # lax.Precision for convs/matmuls;
                                        # 'highest' = reference-parity f32,
                                        # 'default' = fast MXU passes
+    exact_point_cap: bool = True     # reference-exact per-pillar point cap;
+                                     # False skips the rank sort on the fused
+                                     # path (reduce over ALL in-range points)
     dp_axis: int = 1                 # data-parallel mesh size (1 = off)
     sp_axis: int = 1                 # spatial-parallel mesh size (1 = off)
 

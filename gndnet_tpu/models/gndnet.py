@@ -94,10 +94,11 @@ class GroundEstimatorNet(nn.Module):
             )
         geom = self.geom
         ctx = pz.bin_points_batch(points, geom)
-        ranks = pz.count_and_rank(ctx, cfg.max_points_voxel)
         flat_points = points.reshape(-1, points.shape[-1])
-        decorated, _ = pz.decorate_points(
-            flat_points, ctx, ranks, geom, with_distance=cfg.with_distance
+        decorated, kept, cell_count = pz.fused_frontend(
+            flat_points, ctx, geom, cfg.max_points_voxel,
+            with_distance=cfg.with_distance,
+            exact_point_cap=cfg.exact_point_cap,
         )
         layer = self.pfn.layers[0]
         acts = layer.activate_flat(decorated, train=train)  # (B*N, C)
@@ -106,8 +107,9 @@ class GroundEstimatorNet(nn.Module):
         pad_floor = layer.activate_flat(
             jnp.zeros((1, decorated.shape[-1]), decorated.dtype), train=False
         )[0]
-        canvas = pz.scatter_max_canvas(
-            acts, ctx, ranks, geom, cfg.max_points_voxel, pad_floor=pad_floor
+        canvas = pz.canvas_from_activations(
+            acts, ctx, kept, cell_count, geom, cfg.max_points_voxel,
+            pad_floor=pad_floor,
         )
         pred = self.encoder_decoder(canvas, train=train)
         return jnp.squeeze(pred, axis=-1)

@@ -144,13 +144,29 @@ class PointRanks(NamedTuple):
     raw_count: jax.Array     # (num_segments,) int32 all valid points per cell
 
 
-def count_and_rank(ctx: PointContext, max_points: int) -> PointRanks:
-    """Occurrence rank of every point within its cell, in point-stream order.
+def point_ranks(ctx: PointContext) -> jax.Array:
+    """(M,) occurrence rank of every point within its cell, stream order.
 
     Replaces the reference's sequential `num < max_points` counter
     (utils/point_cloud_ops.py:49-52) with a stable sort by segment id: stable
-    sorting preserves point order within a cell, so rank = position - run start.
-    """
+    sorting preserves point order within a cell, so rank = position - run
+    start."""
+    m = ctx.cell.shape[0]
+    order = jnp.argsort(ctx.cell, stable=True)
+    sorted_cell = ctx.cell[order]
+    pos = jnp.arange(m, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]]
+    )
+    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
+    rank_sorted = pos - start_pos
+    return jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
+
+
+def count_and_rank(ctx: PointContext, max_points: int) -> PointRanks:
+    """rank + kept mask + per-cell kept/raw counts (test/reference-API path;
+    the fused model path uses `fused_frontend`, which folds the counting into
+    the decoration scatter)."""
     m = ctx.cell.shape[0]
     order = jnp.argsort(ctx.cell, stable=True)
     sorted_cell = ctx.cell[order]
@@ -170,6 +186,101 @@ def count_and_rank(ctx: PointContext, max_points: int) -> PointRanks:
         ctx.valid.astype(jnp.int32)
     )
     return PointRanks(rank, kept, cell_count, raw_count)
+
+
+def fused_frontend(
+    points: jax.Array,
+    ctx: PointContext,
+    geom: PillarGeometry,
+    max_points: int,
+    with_distance: bool = False,
+    exact_point_cap: bool = True,
+) -> tuple:
+    """Minimal-op front half of the fused path.
+
+    Computes the decorated per-point features, the kept mask, and the per-cell
+    kept count with exactly: [one argsort + scans when exact_point_cap] +
+    ONE scatter-add (xyz and the count fused as a 4th channel) + ONE gather —
+    on this hardware duplicate-index scatters and gathers dominate the whole
+    network, so op count is the budget that matters.
+
+    `exact_point_cap=False` (serving option) skips the rank/sort entirely and
+    reduces over ALL in-range points of each cell — a documented deviation
+    from the reference's first-`max_points` truncation; train and serve with
+    the same setting.
+
+    Returns (decorated (M, D), kept (M,), cell_count (num_segments-1,) int32).
+    """
+    ftype = points.dtype
+    if exact_point_cap:
+        rank = point_ranks(ctx)
+        kept = ctx.valid & (rank < max_points)
+    else:
+        kept = ctx.valid
+    keptf = kept.astype(ftype)[:, None]
+
+    xyz = points[:, :3]
+    stats = jnp.zeros((ctx.num_segments, 4), ftype).at[ctx.cell].add(
+        jnp.concatenate([xyz * keptf, keptf], axis=-1))
+    per_point = stats[ctx.cell]                      # ONE gather: sums + count
+    count_pp = per_point[:, 3:4]
+    mean_pp = per_point[:, :3] / jnp.maximum(count_pp, 1.0)
+    f_cluster = xyz - mean_pp
+
+    vx, vy = geom.voxel_size[0], geom.voxel_size[1]
+    x_offset = vx / 2.0 + geom.pc_range[0]
+    y_offset = vy / 2.0 + geom.pc_range[1]
+    f_center = jnp.stack(
+        [
+            points[:, 0] - (ctx.cx.astype(ftype) * vx + x_offset),
+            points[:, 1] - (ctx.cy.astype(ftype) * vy + y_offset),
+        ],
+        axis=-1,
+    )
+    feats = [points, f_cluster, f_center]
+    if with_distance:
+        feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    decorated = jnp.concatenate(feats, axis=-1) * keptf
+    cell_count = stats[: ctx.num_segments - 1, 3].astype(jnp.int32)
+    return decorated, kept, cell_count
+
+
+def canvas_from_activations(
+    point_feats: jax.Array,
+    ctx: PointContext,
+    kept: jax.Array,
+    cell_count: jax.Array,
+    geom: PillarGeometry,
+    max_points: int,
+    pad_floor: jax.Array | None = None,
+    cap_is_exact: bool = True,
+) -> jax.Array:
+    """Masked per-cell max of point features into the dense (B, ny, nx, C)
+    canvas (see scatter_max_canvas for semantics; this variant takes the
+    already-computed kept mask and counts from `fused_frontend`)."""
+    if geom.nz != 1:
+        raise ValueError("fused canvas scatter requires nz == 1")
+    m, c = point_feats.shape
+    ncells = ctx.num_segments - 1
+    neg = jnp.asarray(jnp.finfo(point_feats.dtype).min, point_feats.dtype)
+    contrib = jnp.where(kept[:, None], point_feats, neg)
+    canvas = jnp.full((ctx.num_segments, c), neg, point_feats.dtype).at[
+        ctx.cell
+    ].max(contrib)
+    canvas = canvas[:ncells]
+    occupied = cell_count > 0
+    if pad_floor is not None:
+        # with an exact cap, full pillars have no padding row; without the
+        # cap, counts can exceed max_points while the reference pillar would
+        # still be full -> treat count >= max_points as full.
+        has_padding_row = occupied & (cell_count < max_points)
+        canvas = jnp.where(
+            has_padding_row[:, None],
+            jnp.maximum(canvas, pad_floor[None, :].astype(canvas.dtype)),
+            canvas,
+        )
+    canvas = jnp.where(occupied[:, None], canvas, 0)
+    return canvas.reshape(ctx.batch, geom.ny, geom.nx, c)
 
 
 def pillarize(

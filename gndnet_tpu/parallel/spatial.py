@@ -131,18 +131,20 @@ def _fused_canvas(cfg: GndNetConfig, params, points):
     use_norm must be False — asserted by callers)."""
     geom = pz.PillarGeometry.from_config(cfg)
     ctx = pz.bin_points_batch(points, geom)
-    ranks = pz.count_and_rank(ctx, cfg.max_points_voxel)
     flat = points.reshape(-1, points.shape[-1])
-    decorated, _ = pz.decorate_points(flat, ctx, ranks, geom,
-                                      with_distance=cfg.with_distance)
+    decorated, kept, cell_count = pz.fused_frontend(
+        flat, ctx, geom, cfg.max_points_voxel,
+        with_distance=cfg.with_distance,
+        exact_point_cap=cfg.exact_point_cap)
     lin = params["voxel_feature_extractor"]["pfn_0"]["linear"]
     acts = jax.nn.relu(
         decorated @ lin["kernel"]
         + lin.get("bias", jnp.zeros(lin["kernel"].shape[1])))
     pad_floor = jax.nn.relu(lin.get(
         "bias", jnp.zeros(lin["kernel"].shape[1], decorated.dtype)))
-    return pz.scatter_max_canvas(acts, ctx, ranks, geom,
-                                 cfg.max_points_voxel, pad_floor=pad_floor)
+    return pz.canvas_from_activations(
+        acts, ctx, kept, cell_count, geom, cfg.max_points_voxel,
+        pad_floor=pad_floor)
 
 
 def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,

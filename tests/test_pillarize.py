@@ -202,3 +202,37 @@ def test_pillarize_capacity_overflow_keeps_earliest(rng):
     np.testing.assert_array_equal(np.asarray(got.coors)[:4], oc)
     np.testing.assert_array_equal(np.asarray(got.num_points)[:4], on)
     np.testing.assert_allclose(np.asarray(got.voxels)[:4], ov)
+
+
+def test_fused_frontend_matches_legacy_pieces(rng):
+    """fused_frontend (single scatter+gather) must equal decorate_points +
+    count_and_rank composition."""
+    from gndnet_tpu.ops.pillarize import fused_frontend
+
+    pts = make_cloud(rng, n=400)
+    max_points = 5
+    bins = bin_points(jnp.asarray(pts), GEOM)
+    ranks = count_and_rank(bins, max_points)
+    want_dec, want_kept = decorate_points(jnp.asarray(pts), bins, ranks, GEOM,
+                                          with_distance=True)
+    dec, kept, counts = fused_frontend(jnp.asarray(pts), bins, GEOM,
+                                       max_points, with_distance=True)
+    np.testing.assert_array_equal(np.asarray(kept), np.asarray(want_kept))
+    np.testing.assert_allclose(np.asarray(dec), np.asarray(want_dec),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(counts),
+        np.asarray(ranks.cell_count)[: bins.num_segments - 1])
+
+
+def test_fused_frontend_no_cap(rng):
+    """exact_point_cap=False keeps every in-range point (documented serving
+    deviation)."""
+    from gndnet_tpu.ops.pillarize import fused_frontend
+
+    dup = np.tile(np.array([[0.5, 0.5, 0.0, 1.0]], np.float32), (30, 1))
+    bins = bin_points(jnp.asarray(dup), GEOM)
+    _, kept, counts = fused_frontend(jnp.asarray(dup), bins, GEOM,
+                                     max_points=5, exact_point_cap=False)
+    assert np.asarray(kept).all()
+    assert np.asarray(counts)[0] == 30
