@@ -79,6 +79,29 @@ class Scalar:
         self.total, self.count = 0.0, 0
 
 
+class Accuracy:
+    """Streaming classification accuracy (torchplus.metrics.Accuracy)."""
+
+    def __init__(self):
+        self.correct = 0
+        self.total = 0
+
+    def update(self, pred, target):
+        import numpy as np
+
+        pred = np.asarray(pred)
+        target = np.asarray(target)
+        self.correct += int(np.sum(pred == target))
+        self.total += int(pred.size)
+
+    @property
+    def value(self):
+        return self.correct / max(self.total, 1)
+
+    def clear(self):
+        self.correct = self.total = 0
+
+
 class PrecisionRecall:
     """Streaming binary precision/recall/IoU from per-frame masks
     (subsumes torchplus.metrics.Precision/Recall; also the accumulator
@@ -107,6 +130,18 @@ class PrecisionRecall:
     @property
     def iou(self):
         return self.tp / max(self.tp + self.fp + self.fn, 1)
+
+
+def create_run_dir(root: str, prefix: str = "run") -> str:
+    """Create and return a timestamped run directory
+    (torchplus/train/common.py:5-23 equivalent)."""
+    import datetime
+    import os
+
+    stamp = datetime.datetime.now().strftime("%Y%m%d-%H%M%S")
+    path = os.path.join(root, f"{prefix}-{stamp}")
+    os.makedirs(path, exist_ok=True)
+    return path
 
 
 _EPOCH_RE = re.compile(

@@ -32,6 +32,36 @@ def load_cloud(path: str, num_features: int) -> np.ndarray:
     return pts[:, :num_features]
 
 
+def save_visualization(path, cfg, cloud, elevation, labels):
+    """Matplotlib stand-in for the reference's rviz view (predict_ground.py
+    -v: segmented cloud + elevation marker grid)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(14, 6))
+    im = axes[0].imshow(elevation, origin="lower",
+                        extent=(cfg.pc_range[0], cfg.pc_range[3],
+                                cfg.pc_range[1], cfg.pc_range[4]))
+    axes[0].set_title("predicted ground elevation")
+    fig.colorbar(im, ax=axes[0], shrink=0.8)
+
+    colors = {1: "tab:red", 0: "tab:green", -1: "tab:gray"}
+    names = {1: "obstacle", 0: "ground", -1: "outside"}
+    step = max(1, len(cloud) // 40000)
+    for lab in (0, 1, -1):
+        m = labels[::step] == lab
+        axes[1].scatter(cloud[::step][m, 0], cloud[::step][m, 1], s=0.3,
+                        c=colors[lab], label=names[lab])
+    axes[1].set_title("per-point segmentation (top view)")
+    axes[1].set_aspect("equal")
+    axes[1].legend(markerscale=20)
+    fig.tight_layout()
+    fig.savefig(path, dpi=110)
+    plt.close(fig)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="kitti_sem")
@@ -42,6 +72,8 @@ def main():
                    help="segmentation threshold (reference default 0.08)")
     p.add_argument("--out", default="", help="save <out>_elevation.npy and "
                    "<out>_segmentation.npy")
+    p.add_argument("--viz", default="", help="save a PNG visualization "
+                   "(elevation map + segmented scatter) to this path")
     args = p.parse_args()
 
     from gndnet_tpu.config import load_config
@@ -78,6 +110,9 @@ def main():
         np.save(args.out + "_elevation.npy", elevation)
         np.save(args.out + "_segmentation.npy", labels)
         print(f"saved {args.out}_elevation.npy / _segmentation.npy")
+    if args.viz:
+        save_visualization(args.viz, cfg, cloud, elevation, labels)
+        print(f"saved {args.viz}")
 
 
 if __name__ == "__main__":
