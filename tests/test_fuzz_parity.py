@@ -1,0 +1,128 @@
+"""Randomized cross-implementation parity fuzzing + edge coverage."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gndnet_tpu import native
+from gndnet_tpu.config import PRESETS, GndNetConfig, load_config
+from gndnet_tpu.infer import GroundInferenceEngine
+from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+from gndnet_tpu.ops.pillarize import PillarGeometry, pillarize
+from oracles import voxelize_oracle
+
+GEOM = PillarGeometry(
+    pc_range=(-4.0, -4.0, -2.0, 4.0, 4.0, 2.0),
+    voxel_size=(0.5, 0.5, 4.0),
+    grid_size=(16, 16, 1),
+)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_three_way_voxelizer_parity(seed):
+    """jax pillarize == numpy oracle == native C++ across random clouds with
+    varying densities, all-in/all-out mixes, and capacity pressure."""
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(50, 1500))
+    max_points = int(rng.integers(1, 12))
+    pts = rng.uniform(-5, 5, (n, 4)).astype(np.float32)
+    # cluster some points to force dense cells
+    if seed % 2:
+        pts[: n // 3, :2] = rng.uniform(-0.5, 0.5, (n // 3, 2))
+
+    ov, oc, on = voxelize_oracle(pts, GEOM.voxel_size, GEOM.pc_range,
+                                 max_points, 512, reference_break=False)
+    jb = pillarize(jnp.asarray(pts), GEOM, max_points, 512)
+    k = int(jb.n_pillars)
+    assert k == len(oc)
+    np.testing.assert_array_equal(np.asarray(jb.coors)[:k], oc)
+    np.testing.assert_array_equal(np.asarray(jb.num_points)[:k], on)
+    np.testing.assert_allclose(np.asarray(jb.voxels)[:k], ov)
+
+    if native.available():
+        nv, nc, nn = native.voxelize(pts, GEOM.voxel_size, GEOM.pc_range,
+                                     max_points, 512, reference_break=False)
+        np.testing.assert_array_equal(nc, oc)
+        np.testing.assert_array_equal(nn, on)
+        np.testing.assert_allclose(nv, ov)
+
+
+def test_all_presets_initialize():
+    for name in PRESETS:
+        cfg = load_config(name)
+        assert isinstance(cfg, GndNetConfig)
+        assert cfg.nx > 0 and cfg.ny > 0
+        # geometry consistent with its own grid_range where square
+        if name != "camera":
+            assert cfg.nz == 1
+
+
+def test_engine_handles_oversized_and_tiny_scans(rng):
+    cfg = GndNetConfig(
+        pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+        grid_range=(0.0, -8.0, 16.0, 8.0),
+        voxel_size=(1.0, 1.0, 8.0),
+        max_points_voxel=10, max_voxels=128, input_features=4,
+        num_points=256)
+    _, variables = init_model(cfg)
+    eng = GroundInferenceEngine(cfg, variables, bucket=128)
+    # scan far larger than cfg.num_points
+    big = rng.uniform(0, 8, (1000, 4)).astype(np.float32)
+    elev, labels = eng.infer(big)
+    assert labels.shape == (1000,)
+    # tiny scan
+    small = rng.uniform(0, 8, (3, 4)).astype(np.float32)
+    elev, labels = eng.infer(small)
+    assert labels.shape == (3,)
+    # empty-ish scan: all out of range
+    far = np.full((10, 4), 1e6, np.float32)
+    elev, labels = eng.infer(far)
+    assert np.all(labels == -1)
+    assert np.isfinite(elev).all()
+
+
+def test_evaluate_reference_compat_toggle(rng):
+    """reference_compat=True reproduces the count+1 heightmap divisor, so the
+    two modes must differ on a scene with known cell populations."""
+    from gndnet_tpu.evaluate import height_mse
+
+    cfg = GndNetConfig(
+        pc_range=(-8.0, -8.0, -4.0, 8.0, 8.0, 4.0),
+        grid_range=(-8.0, -8.0, 8.0, 8.0),
+        voxel_size=(1.0, 1.0, 8.0), input_features=3)
+    cloud = np.zeros((500, 3), np.float32)
+    cloud[:, 0] = rng.uniform(-7, 7, 500)
+    cloud[:, 1] = rng.uniform(-7, 7, 500)
+    cloud[:, 2] = -1.0
+    labels = np.full(500, 40, np.uint32)
+    pred = np.zeros((16, 16), np.float32)
+    a = height_mse(cfg, pred, cloud, labels, reference_compat=True)
+    b = height_mse(cfg, pred, cloud, labels, reference_compat=False)
+    assert a != b
+    assert a >= 0 and b >= 0
+    # corrected mode compares in the shifted frame: flat ground at
+    # z=-1 + lidar_height 1.733 -> heights ~0.733 -> mse ~0.54
+    assert b == pytest.approx(0.733 ** 2, rel=0.05)
+
+
+def test_fused_equals_pillar_on_real_scan():
+    """End-to-end path equality on a real KITTI scan (not just synthetic)."""
+    import os
+
+    path = "/root/reference/data/training/seq_000/reduced_velo/000004.npy"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture unavailable")
+    from gndnet_tpu.ops import pillarize as pz
+
+    cfg = load_config("kitti_sem")
+    model, variables = init_model(cfg)
+    pts = np.load(path)[None, :20000]  # subset for CPU speed
+    pb = pz.pillarize_batch(jnp.asarray(pts),
+                            pz.PillarGeometry.from_config(cfg),
+                            cfg.max_points_voxel, cfg.max_voxels)
+    ref = model.apply(variables, pb.voxels, pb.coors, pb.num_points, pb.mask,
+                      train=False)
+    fused = model.apply(variables, jnp.asarray(pts), train=False,
+                        method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
