@@ -119,6 +119,11 @@ class GndNetConfig:
     matmul_precision: str = "highest"  # lax.Precision for convs/matmuls;
                                        # 'highest' = reference-parity f32,
                                        # 'default' = fast MXU passes
+    fused_impl: str = "scatter"      # 'scatter' (XLA segment ops; fastest
+                                     # measured) or 'sorted' (experimental:
+                                     # argsort + pallas suffix reduces — no
+                                     # duplicate-index scatters but currently
+                                     # slower; see docs/STATUS.md)
     exact_point_cap: bool = True     # reference-exact per-pillar point cap;
                                      # False skips the rank sort on the fused
                                      # path (reduce over ALL in-range points)
@@ -138,6 +143,8 @@ class GndNetConfig:
             raise ValueError("max_points_voxel and max_voxels must be positive")
         if self.input_features < 3:
             raise ValueError("input_features must be >= 3 (xyz)")
+        if self.fused_impl not in ("scatter", "sorted"):
+            raise ValueError(f"unsupported fused_impl {self.fused_impl!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported compute_dtype {self.compute_dtype!r}")
         for i in range(3):

@@ -95,22 +95,40 @@ class GroundEstimatorNet(nn.Module):
         geom = self.geom
         ctx = pz.bin_points_batch(points, geom)
         flat_points = points.reshape(-1, points.shape[-1])
-        decorated, kept, cell_count = pz.fused_frontend(
-            flat_points, ctx, geom, cfg.max_points_voxel,
-            with_distance=cfg.with_distance,
-            exact_point_cap=cfg.exact_point_cap,
-        )
         layer = self.pfn.layers[0]
+        use_sorted = cfg.fused_impl == "sorted"
+        # pallas kernels run compiled on TPU, interpreted elsewhere (tests)
+        interpret = jax.default_backend() != "tpu"
+        if use_sorted:
+            decorated, kept, sorted_cell, cell_count = pz.fused_frontend_sorted(
+                flat_points, ctx, geom, cfg.max_points_voxel,
+                with_distance=cfg.with_distance,
+                exact_point_cap=cfg.exact_point_cap,
+                interpret=interpret,
+            )
+        else:
+            decorated, kept, cell_count = pz.fused_frontend(
+                flat_points, ctx, geom, cfg.max_points_voxel,
+                with_distance=cfg.with_distance,
+                exact_point_cap=cfg.exact_point_cap,
+            )
         acts = layer.activate_flat(decorated, train=train)  # (B*N, C)
         # Reference padding-row quirk: rows zeroed pre-linear contribute
         # relu(linear(0)) to each non-full pillar's max (pointpillars.py:58).
         pad_floor = layer.activate_flat(
             jnp.zeros((1, decorated.shape[-1]), decorated.dtype), train=False
         )[0]
-        canvas = pz.canvas_from_activations(
-            acts, ctx, kept, cell_count, geom, cfg.max_points_voxel,
-            pad_floor=pad_floor,
-        )
+        if use_sorted:
+            canvas = pz.canvas_from_sorted_activations(
+                acts, kept, sorted_cell, cell_count, ctx, geom,
+                cfg.max_points_voxel, pad_floor=pad_floor,
+                interpret=interpret,
+            )
+        else:
+            canvas = pz.canvas_from_activations(
+                acts, ctx, kept, cell_count, geom, cfg.max_points_voxel,
+                pad_floor=pad_floor,
+            )
         pred = self.encoder_decoder(canvas, train=train)
         return jnp.squeeze(pred, axis=-1)
 

@@ -513,3 +513,120 @@ def scatter_max_canvas(
         )
     canvas = jnp.where(occupied[:, None], canvas, 0)
     return canvas.reshape(ctx.batch, geom.ny, geom.nx, c)
+
+
+# ---------------------------------------------------------------------------
+# sorted-stream fused frontend (pallas-accelerated alternative)
+# ---------------------------------------------------------------------------
+
+def fused_frontend_sorted(points, ctx, geom, max_points,
+                          with_distance: bool = False,
+                          exact_point_cap: bool = True,
+                          chunk: int = 1024,
+                          interpret: bool = False):
+    """Sorted-stream variant of `fused_frontend`.
+
+    One argsort reorders the stream by cell; everything else becomes
+    contiguous-run work: rank = position - run start (scalar cummax, no
+    inverse scatter), per-run statistics via two pallas suffix-sum passes
+    (prefix = flip(suffix(flip))) so every row owns its run total with NO
+    duplicate-index scatter and NO stats gather.  Cell coordinates and
+    validity are recomputed elementwise from the sorted points instead of
+    being gathered.
+
+    Returns (decorated_sorted, kept_sorted, sorted_cell, cell_count) —
+    features are in SORTED order; pair with `canvas_from_sorted_activations`.
+    """
+    from gndnet_tpu.ops.pallas_segment import suffix_segment_reduce
+
+    ftype = points.dtype
+    m = points.shape[0]
+    pad = (-m) % chunk
+    order = jnp.argsort(ctx.cell, stable=True)
+    spts = points[order]                       # the one narrow gather
+    cx, cy, _, valid = _bin(spts, geom)
+    sorted_cell = ctx.cell[order]
+
+    if pad:
+        spts = jnp.pad(spts, ((0, pad), (0, 0)))
+        cx = jnp.pad(cx, (0, pad))
+        cy = jnp.pad(cy, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+        sorted_cell = jnp.pad(sorted_cell, (0, pad),
+                              constant_values=ctx.num_segments - 1)
+
+    n = spts.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]])
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
+    if exact_point_cap:
+        kept = valid & ((pos - start_pos) < max_points)
+    else:
+        kept = valid
+    keptf = kept.astype(ftype)[:, None]
+
+    xyz = spts[:, :3]
+    xyzk = jnp.concatenate([xyz * keptf, keptf], axis=-1)
+    suffix = suffix_segment_reduce(xyzk, sorted_cell, op="sum", chunk=chunk,
+                                   interpret=interpret)
+    flipped = suffix_segment_reduce(
+        jnp.flip(xyzk, 0), jnp.flip(-sorted_cell, 0), op="sum", chunk=chunk,
+        interpret=interpret)
+    prefix = jnp.flip(flipped, 0)
+    totals = prefix + suffix - xyzk            # every row: its run's totals
+    count_pp = totals[:, 3:4]
+    mean_pp = totals[:, :3] / jnp.maximum(count_pp, 1.0)
+    f_cluster = xyz - mean_pp
+
+    vx, vy = geom.voxel_size[0], geom.voxel_size[1]
+    x_offset = vx / 2.0 + geom.pc_range[0]
+    y_offset = vy / 2.0 + geom.pc_range[1]
+    f_center = jnp.stack(
+        [spts[:, 0] - (cx.astype(ftype) * vx + x_offset),
+         spts[:, 1] - (cy.astype(ftype) * vy + y_offset)], axis=-1)
+    feats = [spts, f_cluster, f_center]
+    if with_distance:
+        feats.append(jnp.linalg.norm(xyz, axis=-1, keepdims=True))
+    decorated = jnp.concatenate(feats, axis=-1) * keptf
+
+    ncells = ctx.num_segments - 1
+    starts = jnp.searchsorted(sorted_cell,
+                              jnp.arange(ncells, dtype=sorted_cell.dtype),
+                              side="left")
+    starts_c = jnp.clip(starts, 0, n - 1)
+    cell_count = jnp.where(
+        sorted_cell[starts_c] == jnp.arange(ncells),
+        totals[starts_c, 3], 0.0).astype(jnp.int32)
+    return decorated, kept, sorted_cell, cell_count
+
+
+def canvas_from_sorted_activations(acts, kept, sorted_cell, cell_count,
+                                   ctx, geom, max_points,
+                                   pad_floor=None, chunk: int = 1024,
+                                   interpret: bool = False):
+    """Canvas from SORTED activations: pallas suffix-max + searchsorted +
+    one unique-index gather (no duplicate-index scatter)."""
+    from gndnet_tpu.ops.pallas_segment import suffix_segment_reduce
+
+    if geom.nz != 1:
+        raise ValueError("fused canvas requires nz == 1")
+    n, c = acts.shape
+    neg = jnp.asarray(jnp.finfo(acts.dtype).min, acts.dtype)
+    masked = jnp.where(kept[:, None], acts, neg)
+    reduced = suffix_segment_reduce(masked, sorted_cell, op="max",
+                                    chunk=chunk, interpret=interpret)
+    ncells = ctx.num_segments - 1
+    starts = jnp.searchsorted(sorted_cell,
+                              jnp.arange(ncells, dtype=sorted_cell.dtype),
+                              side="left")
+    rows = reduced[jnp.clip(starts, 0, n - 1)]
+    occupied = cell_count > 0
+    canvas = rows
+    if pad_floor is not None:
+        has_padding_row = occupied & (cell_count < max_points)
+        canvas = jnp.where(has_padding_row[:, None],
+                           jnp.maximum(canvas, pad_floor[None, :]
+                                       .astype(canvas.dtype)), canvas)
+    canvas = jnp.where(occupied[:, None], canvas, 0)
+    return canvas.reshape(ctx.batch, geom.ny, geom.nx, c)

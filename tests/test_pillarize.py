@@ -236,3 +236,64 @@ def test_fused_frontend_no_cap(rng):
                                      max_points=5, exact_point_cap=False)
     assert np.asarray(kept).all()
     assert np.asarray(counts)[0] == 30
+
+
+def test_sorted_frontend_matches_scatter_frontend(rng):
+    """fused_impl='sorted' (pallas interpret on CPU) must agree with the
+    scatter implementation for both cap modes."""
+    from gndnet_tpu.ops.pillarize import (
+        bin_points_batch,
+        canvas_from_activations,
+        canvas_from_sorted_activations,
+        fused_frontend,
+        fused_frontend_sorted,
+    )
+
+    pts = np.stack([make_cloud(rng, n=300), make_cloud(rng, n=300)])
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+    floor = jnp.maximum(b, 0)
+
+    for cap in (True, False):
+        dec_a, kept_a, count_a = fused_frontend(flat, ctx, GEOM, 5,
+                                                exact_point_cap=cap)
+        acts_a = jnp.maximum(dec_a @ w + b, 0)
+        canvas_a = canvas_from_activations(acts_a, ctx, kept_a, count_a,
+                                           GEOM, 5, pad_floor=floor)
+
+        dec_s, kept_s, cell_s, count_s = fused_frontend_sorted(
+            flat, ctx, GEOM, 5, exact_point_cap=cap, chunk=128,
+            interpret=True)
+        acts_s = jnp.maximum(dec_s @ w + b, 0)
+        canvas_s = canvas_from_sorted_activations(
+            acts_s, kept_s, cell_s, count_s, ctx, GEOM, 5, pad_floor=floor,
+            chunk=128, interpret=True)
+
+        np.testing.assert_array_equal(np.asarray(count_a),
+                                      np.asarray(count_s))
+        np.testing.assert_allclose(np.asarray(canvas_s),
+                                   np.asarray(canvas_a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sorted_impl_through_model(rng):
+    """GroundEstimatorNet with fused_impl='sorted' == 'scatter' end to end."""
+    from gndnet_tpu.config import GndNetConfig
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+
+    cfg = GndNetConfig(
+        pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+        grid_range=(0.0, -8.0, 16.0, 8.0),
+        voxel_size=(1.0, 1.0, 8.0),
+        max_points_voxel=20, max_voxels=256, input_features=4)
+    model_a, variables = init_model(cfg)
+    pts = np.stack([make_cloud(rng, n=400, lo=(0, -8, -4), hi=(16, 8, 4))])
+    out_a = model_a.apply(variables, jnp.asarray(pts), train=False,
+                          method=GroundEstimatorNet.fused)
+    model_b = GroundEstimatorNet(cfg.replace(fused_impl="sorted"))
+    out_b = model_b.apply(variables, jnp.asarray(pts), train=False,
+                          method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               rtol=1e-4, atol=1e-5)
