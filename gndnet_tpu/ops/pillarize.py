@@ -158,7 +158,7 @@ def point_ranks(ctx: PointContext) -> jax.Array:
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]]
     )
-    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
     rank_sorted = pos - start_pos
     return jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
 
@@ -174,7 +174,7 @@ def count_and_rank(ctx: PointContext, max_points: int) -> PointRanks:
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]]
     )
-    start_pos = jax.lax.associative_scan(jnp.maximum, jnp.where(is_start, pos, 0))
+    start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
     rank_sorted = pos - start_pos
     rank = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
 

@@ -127,8 +127,7 @@ def lidar_to_heightmap(points, grid_range, cell_size, max_points: int = 100,
     pos = jnp.arange(flat.shape[0], dtype=jnp.int32)
     is_start = jnp.concatenate(
         [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]])
-    start = jax.lax.associative_scan(jnp.maximum,
-                                     jnp.where(is_start, pos, 0))
+    start = jax.lax.cummax(jnp.where(is_start, pos, 0))
     rank = jnp.zeros_like(pos).at[order].set(pos - start)
     kept = ok & (rank < max_points)
 
