@@ -19,8 +19,11 @@ flax (kH,kW,I,O)).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import signal
+import threading
 from typing import Any, Mapping
 
 import jax
@@ -199,15 +202,34 @@ class CheckpointManager:
         )
         self._best_dir = os.path.join(self.directory, "best")
 
+    @contextlib.contextmanager
+    def _defer_sigint(self):
+        """Delay Ctrl-C until the write completes so checkpoints are never
+        torn (the torchplus manager's SIGINT-safe saves,
+        reference: torchplus/train/checkpoint.py:62-113)."""
+        if threading.current_thread() is not threading.main_thread():
+            yield
+            return
+        pending = []
+        old = signal.signal(signal.SIGINT,
+                            lambda s, f: pending.append((s, f)))
+        try:
+            yield
+        finally:
+            signal.signal(signal.SIGINT, old)
+            if pending:
+                os.kill(os.getpid(), signal.SIGINT)
+
     def save(self, step: int, state, is_best: bool = False) -> None:
         """Save a pytree `state` at `step`; mirror to best/ when is_best."""
-        self._mgr.save(step, args=ocp.args.StandardSave(state))
-        self._mgr.wait_until_finished()
-        if is_best:
-            src = os.path.join(self.directory, str(step))
-            if os.path.isdir(self._best_dir):
-                shutil.rmtree(self._best_dir)
-            shutil.copytree(src, self._best_dir)
+        with self._defer_sigint():
+            self._mgr.save(step, args=ocp.args.StandardSave(state))
+            self._mgr.wait_until_finished()
+            if is_best:
+                src = os.path.join(self.directory, str(step))
+                if os.path.isdir(self._best_dir):
+                    shutil.rmtree(self._best_dir)
+                shutil.copytree(src, self._best_dir)
 
     def latest_step(self):
         return self._mgr.latest_step()

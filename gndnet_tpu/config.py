@@ -99,7 +99,10 @@ class GndNetConfig:
     weight_decay: float = 0.0005
     epochs: int = 120
     use_norm: bool = False
-    clip: float = 0.25          # kept for parity; the reference never applies it
+    clip: float = 0.25          # clip norm; the reference declares but never
+                                # applies it (training.py:164-165 commented) —
+                                # enable with use_grad_clip
+    use_grad_clip: bool = False
     max_memory: float = 4000.0  # MiB budget for the in-RAM dataset cache
 
     # LR schedule (reference: training.py:100 StepLR(step_size=15, gamma=0.8))

@@ -53,11 +53,17 @@ class TrainState(flax.struct.PyTreeNode):
 def make_optimizer(cfg: GndNetConfig, steps_per_epoch: int) -> optax.GradientTransformation:
     """torch-SGD-equivalent chain with StepLR; see module docstring."""
     schedule = step_lr(cfg.lr, cfg.lr_step_size, cfg.lr_gamma, steps_per_epoch)
-    return optax.chain(
+    parts = [
         optax.add_decayed_weights(cfg.weight_decay),
         optax.trace(decay=cfg.momentum, nesterov=False),
         optax.scale_by_schedule(lambda s: -schedule(s)),
-    )
+    ]
+    if cfg.use_grad_clip:
+        # the reference declares `clip` but never applies it (training.py:
+        # 164-165 commented out); opt-in here, applied pre-weight-decay like
+        # torch clip_grad_norm_ would have been.
+        parts.insert(0, optax.clip_by_global_norm(cfg.clip))
+    return optax.chain(*parts)
 
 
 def create_train_state(cfg: GndNetConfig, steps_per_epoch: int,

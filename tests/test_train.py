@@ -230,3 +230,16 @@ def test_loss_scaled_training(rng):
     assert float(state.dynamic_scale.scale) > 0
     assert np.all([np.isfinite(np.asarray(x)).all()
                    for x in jax.tree_util.tree_leaves(state.params)])
+
+
+def test_grad_clipping_option(rng):
+    """use_grad_clip bounds the global update norm by clip * lr."""
+    cfg = CFG.replace(use_grad_clip=True, clip=0.01, lr=1.0,
+                      weight_decay=0.0, momentum=0.0)
+    tx = make_optimizer(cfg, steps_per_epoch=10)
+    params = {"w": jnp.ones((4, 4)) * 5.0}
+    state = tx.init(params)
+    grads = {"w": jnp.ones((4, 4)) * 100.0}
+    updates, _ = tx.update(grads, state, params)
+    norm = float(jnp.linalg.norm(updates["w"]))
+    assert norm == pytest.approx(0.01, rel=1e-4)
