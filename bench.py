@@ -101,13 +101,14 @@ def bench_device(cfg, variables, iters: int, ring_size: int = 128) -> float:
     return ring_size / min(times)
 
 
-def bench_e2e(cfg, variables, iters: int) -> float:
+def bench_e2e(cfg, variables, iters: int, int16: bool = False) -> float:
     """Fully honest host->device->host loop through this environment's relay
     (pipelined depth 3; distinct host buffers per frame so nothing caches)."""
     from gndnet_tpu.infer import GroundInferenceEngine
 
-    engine = GroundInferenceEngine(cfg, variables, threshold=0.08,
-                                   shift_cloud=True)
+    engine = GroundInferenceEngine(
+        cfg, variables, threshold=0.08, shift_cloud=True,
+        transfer_dtype="int16" if int16 else "float32")
     scan = load_scan(cfg)
     scans = [scan + np.float32(i * 1e-4) for i in range(min(iters, 32))]
     engine.infer(scans[0])  # compile
@@ -174,6 +175,9 @@ def main():
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--f32", action="store_true",
                     help="parity precision instead of serving bf16")
+    ap.add_argument("--int16", action="store_true",
+                    help="e2e mode: ship scans as 4mm fixed-point int16 "
+                         "(halves host->device bytes)")
     args = ap.parse_args()
 
     from gndnet_tpu.config import kitti_sem_config
@@ -188,7 +192,7 @@ def main():
     if args.mode == "device":
         hz = bench_device(cfg, variables, args.iters)
     elif args.mode in ("e2e", "single"):
-        hz = bench_e2e(cfg, variables, args.iters)
+        hz = bench_e2e(cfg, variables, args.iters, int16=args.int16)
     elif args.mode == "batched":
         hz = bench_batched(cfg, variables, args.iters)
     else:

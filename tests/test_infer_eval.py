@@ -199,3 +199,21 @@ def test_transform_cloud_matches_scipy(rng):
     want = pts[:, :3] @ rot.T + np.array([1.0, -2.0, 0.5])
     np.testing.assert_allclose(out[:, :3], want, atol=1e-12)
     np.testing.assert_allclose(out[:, 3], pts[:, 3])  # extra col untouched
+
+
+def test_int16_transfer_matches_float32(rng):
+    """4 mm fixed-point transfer: identical segmentation, elevation within
+    quantization tolerance."""
+    _, variables = init_model(CFG)
+    e32 = GroundInferenceEngine(CFG, variables, threshold=0.2, bucket=256)
+    e16 = GroundInferenceEngine(CFG, variables, threshold=0.2, bucket=256,
+                                transfer_dtype="int16")
+    pts = plane_cloud(rng, n=300)
+    pts[:40, 2] = 2.5
+    elev32, lab32 = e32.infer(pts)
+    elev16, lab16 = e16.infer(pts)
+    np.testing.assert_allclose(elev16, elev32, atol=0.02)
+    assert (lab16 == lab32).mean() > 0.995  # ties at the threshold only
+
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        GroundInferenceEngine(CFG, variables, transfer_dtype="int8")
