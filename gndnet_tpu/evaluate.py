@@ -149,3 +149,37 @@ def evaluate_semantic_kitti(cfg: GndNetConfig, variables, data_dir: str,
     """Directory-level harness matching reference evaluate_SemanticKITTI.py."""
     return evaluate_frames(cfg, variables, semantic_kitti_frames(data_dir),
                            threshold, reference_compat, logger)
+
+
+def evaluate_height_rmse(cfg: GndNetConfig, variables, data_dir: str,
+                         split: str = "validation", skip_frames: int = 1,
+                         logger=None) -> dict:
+    """Height-RMSE over a generated dataset (reduced_velo/gnd_labels pairs).
+
+    The reference can only evaluate against raw SemanticKITTI labels; this
+    harness evaluates directly against the generated elevation grids the
+    model trains on — the natural regression metric for the fixture-style
+    data layout.  Returns {'frames', 'rmse', 'per_frame'}."""
+    import jax
+    import jax.numpy as jnp
+
+    from gndnet_tpu.data.provider import GroundDataset
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet
+
+    ds = GroundDataset(data_dir, split, skip_frames, cfg.input_features,
+                       max_memory=cfg.max_memory * 2 ** 20,
+                       logger=logger or __import__("logging").root)
+    model = GroundEstimatorNet(cfg)
+    fwd = jax.jit(lambda v, p: model.apply(
+        v, p, train=False, method=GroundEstimatorNet.fused))
+    per_frame = []
+    for i in range(len(ds)):
+        cloud, label = ds[i]
+        pred = fwd(variables, jnp.asarray(cloud[None]))[0]
+        rmse = float(jnp.sqrt(jnp.mean((pred - jnp.asarray(label)) ** 2)))
+        per_frame.append(rmse)
+        if logger:
+            logger.info("frame %d: height RMSE %.4f", i, rmse)
+    return {"frames": len(per_frame),
+            "rmse": float(np.mean(per_frame)) if per_frame else 0.0,
+            "per_frame": per_frame}

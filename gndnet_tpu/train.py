@@ -195,6 +195,7 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
 
     Returns {'train_loss': [...], 'valid_loss': [...], 'lowest_loss': float}.
     """
+    os.makedirs(workdir, exist_ok=True)
     logger = logger or setup_logger(
         "train", os.path.join(workdir, "training.log"))
     epochs = cfg.epochs if epochs is None else epochs

@@ -243,3 +243,41 @@ def test_grad_clipping_option(rng):
     updates, _ = tx.update(grads, state, params)
     norm = float(jnp.linalg.norm(updates["w"]))
     assert norm == pytest.approx(0.01, rel=1e-4)
+
+
+def test_train_and_evaluate_integration(rng, tmp_path):
+    """Full orchestration on a tiny synthetic dataset inside the suite:
+    train -> validate -> checkpoint -> resume -> fixture-RMSE evaluation."""
+    import os
+
+    from gndnet_tpu.evaluate import evaluate_height_rmse
+    from gndnet_tpu.train import train_and_evaluate
+
+    cfg = CFG.replace(num_points=600, max_memory=100.0)
+    for split, k in (("training", 4), ("validation", 2)):
+        d = tmp_path / split / "seq_000"
+        (d / "reduced_velo").mkdir(parents=True)
+        (d / "gnd_labels").mkdir()
+        for i in range(k):
+            pts, labels = _synthetic_batch(rng, cfg, b=1)
+            np.save(d / "reduced_velo" / f"{i:06d}.npy", np.asarray(pts[0]))
+            np.save(d / "gnd_labels" / f"{i:06d}.npy",
+                    np.asarray(labels[0], np.float64))
+    cfg = cfg.replace(data_dir=str(tmp_path))
+    hist = train_and_evaluate(cfg, workdir=str(tmp_path / "run"), epochs=2,
+                              save_checkpoints=True, train_skip=1,
+                              valid_skip=1, print_freq=1)
+    assert len(hist["train_loss"]) == 2
+    assert np.isfinite(hist["lowest_loss"])
+    assert os.path.isdir(tmp_path / "run" / "checkpoints" / "best")
+
+    hist2 = train_and_evaluate(cfg, workdir=str(tmp_path / "run"), epochs=3,
+                               resume=True, save_checkpoints=True,
+                               train_skip=1, valid_skip=1)
+    assert len(hist2["train_loss"]) == 1  # resumed at epoch 2
+
+    state = hist2["state"]
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    res = evaluate_height_rmse(cfg, variables, str(tmp_path), "validation")
+    assert res["frames"] == 2
+    assert 0 < res["rmse"] < 1.0
