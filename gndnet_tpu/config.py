@@ -14,7 +14,6 @@ over by ``jax.jit``-compiled programs without retracing hazards.
 from __future__ import annotations
 
 import dataclasses
-import math
 from typing import Any, Mapping, Sequence
 
 import yaml

@@ -19,7 +19,6 @@ space: each device sorts only its local shard).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -15,7 +15,6 @@ single-device model.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
