@@ -20,15 +20,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def load_cloud(path: str, num_features: int) -> np.ndarray:
+def load_cloud(path: str, num_features: int, lidar_height: float,
+               shift_cloud: bool) -> np.ndarray:
+    """Reference input semantics (predict_ground.py:124-135): .npy files are
+    generated reduced_velo data stored already shifted by lidar_height, so
+    they are pre-UN-shifted here (the engine re-adds it); .bin raw scans pass
+    through; missing feature columns are padded with ones."""
     if path.endswith(".bin"):
         pts = np.fromfile(path, np.float32).reshape(-1, 4)
     else:
         pts = np.load(path).astype(np.float32)
+        if shift_cloud:
+            pts[:, 2] -= lidar_height
     if pts.shape[1] < num_features:
         pts = np.concatenate(
-            [pts, np.zeros((len(pts), num_features - pts.shape[1]),
-                           np.float32)], 1)
+            [pts, np.ones((len(pts), num_features - pts.shape[1]),
+                          np.float32)], 1)
     return pts[:, :num_features]
 
 
@@ -97,7 +104,8 @@ def main():
                          "batch_stats": state["batch_stats"]}
 
     engine = GroundInferenceEngine(cfg, variables, threshold=args.threshold)
-    cloud = load_cloud(args.pcl, cfg.input_features)
+    cloud = load_cloud(args.pcl, cfg.input_features, cfg.lidar_height,
+                       cfg.shift_cloud)
     elevation, labels = engine.infer(cloud)
     n_gnd = int((labels == 0).sum())
     n_obs = int((labels == 1).sum())
