@@ -217,3 +217,23 @@ def test_int16_transfer_matches_float32(rng):
 
     with pytest.raises(ValueError, match="transfer_dtype"):
         GroundInferenceEngine(CFG, variables, transfer_dtype="int8")
+
+
+def test_profiling_utils(rng, tmp_path):
+    import jax.numpy as jnp
+
+    from gndnet_tpu.utils.profiling import StageTimer, measure_hz
+
+    t = StageTimer()
+    with t("a"):
+        pass
+    with t("a"):
+        pass
+    with t("b"):
+        pass
+    rep = t.report()
+    assert "a:" in rep and "over 2" in rep
+
+    hz = measure_hz(lambda x: x * 2.0,
+                    lambda: (jnp.ones((64, 64)),), units_per_call=4, reps=2)
+    assert hz > 0
