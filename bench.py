@@ -189,8 +189,12 @@ def main():
     _, variables = init_model(cfg)
 
     baseline_hz = 55.0  # reference README.md:15
+    extra = {}
     if args.mode == "device":
         hz = bench_device(cfg, variables, args.iters)
+        extra["note"] = ("device-resident scan ring; host I/O excluded "
+                         "(dev relay ~30 MB/s is not the chip; "
+                         "--mode e2e measures the full loop)")
     elif args.mode in ("e2e", "single"):
         hz = bench_e2e(cfg, variables, args.iters, int16=args.int16)
     elif args.mode == "batched":
@@ -204,6 +208,8 @@ def main():
         "value": round(hz, 2),
         "unit": "Hz",
         "vs_baseline": round(hz / baseline_hz, 2),
+        "mode": args.mode,
+        **extra,
     }))
 
 

@@ -260,8 +260,12 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
 
         # --- validate ---
         vmeter = AverageMeter()
+        # drop_last=False: validation must see every frame (a 5-frame split
+        # with batch_size 8 would otherwise vanish entirely).  The ragged
+        # final batch costs one extra jit specialization, cached across
+        # epochs since the remainder size is constant.
         vit = prefetch_to_device(iterate_batches(
-            valid_ds, cfg.batch_size, shuffle=True, drop_last=True,
+            valid_ds, cfg.batch_size, shuffle=True, drop_last=False,
             seed=seed + 999, epoch=epoch))
         for i, (points, labels) in enumerate(vit):
             vloss = eval_step(state, points, labels)
