@@ -30,13 +30,23 @@ import time
 import numpy as np
 
 
-def load_scan(cfg):
-    """Real KITTI scan when the fixture is available, synthetic otherwise."""
+SPARSE_BEAMS = False  # set by --config sparse_32beam (driver config #5)
+
+
+def load_scan(cfg, sparse_beams: bool | None = None):
+    """Real KITTI scan when the fixture is available, synthetic otherwise.
+    `sparse_beams` ring-decimates to a 32-beam-like cloud (driver config #5)."""
     import os
 
+    if sparse_beams is None:
+        sparse_beams = SPARSE_BEAMS
     path = "/root/reference/data/training/seq_000/reduced_velo/000000.npy"
     if os.path.exists(path):
         pts = np.load(path).astype(np.float32)
+        if sparse_beams:
+            from gndnet_tpu.io_shim import subsample_beams
+
+            pts = subsample_beams(pts, num_beams=64, keep_every=2)
     else:
         rng = np.random.default_rng(0)
         n = cfg.num_points
@@ -178,14 +188,26 @@ def main():
     ap.add_argument("--int16", action="store_true",
                     help="e2e mode: ship scans as 4mm fixed-point int16 "
                          "(halves host->device bytes)")
+    ap.add_argument("--config", default="kitti_sem",
+                    help="preset name (kitti_sem | fine_grid | "
+                         "sparse_32beam | camera) or YAML path; "
+                         "sparse_32beam beam-decimates the input scan")
+    ap.add_argument("--impl", default=None,
+                    choices=[None, "scatter", "affine", "sorted"],
+                    help="fused frontend implementation override")
     args = ap.parse_args()
 
-    from gndnet_tpu.config import kitti_sem_config
+    from gndnet_tpu.config import load_config
     from gndnet_tpu.models.gndnet import init_model
 
-    cfg = kitti_sem_config()
+    cfg = load_config(args.config)
+    if args.config == "sparse_32beam":
+        global SPARSE_BEAMS
+        SPARSE_BEAMS = True
     if not args.f32:
         cfg = cfg.replace(compute_dtype="bfloat16", matmul_precision="default")
+    if args.impl:
+        cfg = cfg.replace(fused_impl=args.impl)
     _, variables = init_model(cfg)
 
     baseline_hz = 55.0  # reference README.md:15
@@ -209,6 +231,8 @@ def main():
         "unit": "Hz",
         "vs_baseline": round(hz / baseline_hz, 2),
         "mode": args.mode,
+        "config": args.config,
+        "impl": cfg.fused_impl,
         **extra,
     }))
 

@@ -121,11 +121,13 @@ class GndNetConfig:
     matmul_precision: str = "highest"  # lax.Precision for convs/matmuls;
                                        # 'highest' = reference-parity f32,
                                        # 'default' = fast MXU passes
-    fused_impl: str = "scatter"      # 'scatter' (XLA segment ops; fastest
-                                     # measured) or 'sorted' (experimental:
-                                     # argsort + pallas suffix reduces — no
-                                     # duplicate-index scatters but currently
-                                     # slower; see docs/STATUS.md)
+    fused_impl: str = "scatter"      # 'scatter' (XLA segment ops; the
+                                     # bit-stable parity anchor),
+                                     # 'affine' (round-2 fast path: sort +
+                                     # segmented scans + affine PFN split;
+                                     # same math to float re-association),
+                                     # or 'sorted' (experimental pallas
+                                     # suffix reduces; see docs/STATUS.md)
     exact_point_cap: bool = True     # reference-exact per-pillar point cap;
                                      # False skips the rank sort on the fused
                                      # path (reduce over ALL in-range points)
@@ -145,7 +147,7 @@ class GndNetConfig:
             raise ValueError("max_points_voxel and max_voxels must be positive")
         if self.input_features < 3:
             raise ValueError("input_features must be >= 3 (xyz)")
-        if self.fused_impl not in ("scatter", "sorted"):
+        if self.fused_impl not in ("scatter", "affine", "sorted"):
             raise ValueError(f"unsupported fused_impl {self.fused_impl!r}")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported compute_dtype {self.compute_dtype!r}")
@@ -304,11 +306,20 @@ def fine_grid_config() -> GndNetConfig:
     )
 
 
+def sparse_32beam_config() -> GndNetConfig:
+    """32-beam sparse-cloud config (BASELINE.md driver config #5): the
+    kitti_sem grid fed with beam-decimated scans (io_shim.subsample_beams
+    halves a 64-beam KITTI sweep), trained with on-device augmentation
+    (train.make_train_step(augment=True)).  Half the points, same grid."""
+    return GndNetConfig(num_points=50000)
+
+
 PRESETS = {
     "kitti_sem": kitti_sem_config,
     "camera": camera_config,
     "custom_local": custom_local_config,
     "fine_grid": fine_grid_config,
+    "sparse_32beam": sparse_32beam_config,
 }
 
 

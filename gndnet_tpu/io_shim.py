@@ -54,6 +54,25 @@ def random_sample(cloud: np.ndarray, n: int, rng=None) -> np.ndarray:
     return cloud[idx]
 
 
+def subsample_beams(cloud: np.ndarray, num_beams: int = 64,
+                    keep_every: int = 2, phase: int = 0) -> np.ndarray:
+    """Beam-ring decimation of a rotating-LiDAR cloud (BASELINE.md driver
+    config #5: 32-beam sparse clouds).
+
+    KITTI stores no ring index, so rings are recovered by binning each
+    point's elevation angle into `num_beams` equal bins over the cloud's own
+    elevation span (robust percentiles); keeping every `keep_every`-th ring
+    turns a 64-beam sweep into a 32-beam-like sparse cloud.  No reference
+    analog — the reference never exercises sparse-beam inputs."""
+    xyz = cloud[:, :3]
+    rng_xy = np.hypot(xyz[:, 0], xyz[:, 1])
+    elev = np.arctan2(xyz[:, 2], np.maximum(rng_xy, 1e-6))
+    lo, hi = np.percentile(elev, [0.5, 99.5])
+    ring = np.clip(((elev - lo) / max(hi - lo, 1e-6) * num_beams)
+                   .astype(np.int32), 0, num_beams - 1)
+    return cloud[(ring % keep_every) == phase]
+
+
 # ---------------------------------------------------------------------------
 # PointCloud2 byte layout (no ROS dependency)
 # ---------------------------------------------------------------------------
