@@ -206,8 +206,11 @@ def main():
         SPARSE_BEAMS = True
     if not args.f32:
         cfg = cfg.replace(compute_dtype="bfloat16", matmul_precision="default")
-    if args.impl:
-        cfg = cfg.replace(fused_impl=args.impl)
+    # serving default: the round-2 affine frontend (sort + one fused pallas
+    # pass; 548 vs 261 Hz raw forward on the v5e); parity (--f32) keeps the
+    # bit-stable scatter impl unless overridden
+    impl = args.impl or ("scatter" if args.f32 else "affine")
+    cfg = cfg.replace(fused_impl=impl)
     _, variables = init_model(cfg)
 
     baseline_hz = 55.0  # reference README.md:15

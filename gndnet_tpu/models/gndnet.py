@@ -96,6 +96,22 @@ class GroundEstimatorNet(nn.Module):
         ctx = pz.bin_points_batch(points, geom)
         flat_points = points.reshape(-1, points.shape[-1])
         layer = self.pfn.layers[0]
+        if cfg.fused_impl == "affine":
+            # round-2 fast path: sort + segmented scans, no duplicate-index
+            # scatter, PFN linear split into per-point matmul + per-cell
+            # offset (ops/pillarize.py:affine_canvas)
+            kernel, bias = layer.effective_affine()
+            dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                     else jnp.float32)
+            canvas = pz.affine_canvas(
+                flat_points, ctx, geom, cfg.max_points_voxel, kernel, bias,
+                with_distance=cfg.with_distance,
+                exact_point_cap=cfg.exact_point_cap,
+                compute_dtype=dtype, precision=cfg.matmul_precision,
+                differentiable=train,
+                interpret=jax.default_backend() != "tpu")
+            pred = self.encoder_decoder(canvas, train=train)
+            return jnp.squeeze(pred, axis=-1)
         use_sorted = cfg.fused_impl == "sorted"
         # pallas kernels run compiled on TPU, interpreted elsewhere (tests)
         interpret = jax.default_backend() != "tpu"

@@ -58,6 +58,20 @@ class PFNLayer(nn.Module):
             x = self.norm(x, use_running_average=not train)
         return nn.relu(x)
 
+    def effective_affine(self):
+        """Eval-mode (kernel, bias) of Linear(+folded running-stat BN).
+
+        The affine fast path (ops.pillarize.affine_canvas) consumes the
+        layer as one affine map; with use_norm the BN running stats fold in:
+        y = scale*(Wx - mean)/sqrt(var+eps) + bias_bn."""
+        kernel = self.linear.variables["params"]["kernel"]
+        if not self.use_norm:
+            return kernel, self.linear.variables["params"]["bias"]
+        p = self.norm.variables["params"]
+        s = self.norm.variables["batch_stats"]
+        inv = p["scale"] / jnp.sqrt(s["var"] + 1e-3)
+        return kernel * inv[None, :], p["bias"] - s["mean"] * inv
+
     def __call__(self, x, train: bool = False):
         """x: (M, P, Cin) -> (M, 1, units) if last else (M, P, 2*units)."""
         x = self.activate_flat(x, train=train)

@@ -516,6 +516,279 @@ def scatter_max_canvas(
 
 
 # ---------------------------------------------------------------------------
+# affine sorted frontend (round-2 fast path)
+# ---------------------------------------------------------------------------
+
+def _segment_flags(sorted_cell: jax.Array) -> jax.Array:
+    return jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_cell[1:] != sorted_cell[:-1]])
+
+
+def segmented_scan_sum(vals: jax.Array, flags: jax.Array) -> jax.Array:
+    """Inclusive segmented running sum along axis 0 (flags mark run starts).
+
+    Exact segment-local accumulation in stream order — unlike cumsum-diff,
+    no catastrophic cancellation against the global running total."""
+    f = flags[:, None] if vals.ndim == 2 else flags
+
+    def combine(a, b):
+        (s1, f1), (s2, f2) = a, b
+        return jnp.where(f2, s2, s1 + s2), f1 | f2
+
+    out, _ = jax.lax.associative_scan(combine, (vals, f), axis=0)
+    return out
+
+
+def segmented_scan_max(vals: jax.Array, flags: jax.Array) -> jax.Array:
+    """Inclusive segmented running max along axis 0 (generic dtype)."""
+    f = flags[:, None] if vals.ndim == 2 else flags
+
+    def combine(a, b):
+        (m1, f1), (m2, f2) = a, b
+        return jnp.where(f2, m2, jnp.maximum(m1, m2)), f1 | f2
+
+    out, _ = jax.lax.associative_scan(combine, (vals, f), axis=0)
+    return out
+
+
+def segmented_max_intkey(vals_bf16: jax.Array, sorted_cell: jax.Array,
+                         seg_bits: int) -> jax.Array:
+    """Segmented running max of bf16 values over a SORTED id stream via one
+    plain int32 cummax: bf16 -> 16-bit monotonic key, segment id in the high
+    bits (monotone non-decreasing), so a later segment's smallest key beats
+    any earlier segment's largest and the segment structure never leaks.
+    Exact (a bit-level total order of bf16).  Requires seg ids < 2^seg_bits
+    with seg_bits <= 16."""
+    if seg_bits > 16:
+        raise ValueError("intkey segmax supports at most 2^16 segments")
+    bits = jax.lax.bitcast_convert_type(vals_bf16, jnp.uint16)
+    key = jnp.where(bits >= 0x8000, ~bits,
+                    bits | jnp.uint16(0x8000)).astype(jnp.uint32)
+    t = (sorted_cell.astype(jnp.uint32)[:, None] << 16) | key
+    run = jax.lax.cummax(t, axis=0)
+    k16 = (run & 0xFFFF).astype(jnp.uint16)
+    back = jnp.where(k16 >= 0x8000, k16 & jnp.uint16(0x7FFF), ~k16)
+    return jax.lax.bitcast_convert_type(back, jnp.bfloat16)
+
+
+def affine_pfn_weights(kernel: jax.Array, bias: jax.Array, num_features: int,
+                       geom: PillarGeometry, with_distance: bool = False):
+    """Split the PFN linear over decorated features into a per-point matrix
+    and a per-cell offset map (the round-2 'affine' decomposition).
+
+    The decorated feature vector (reference modules/pointpillars.py:115-140)
+    is AFFINE in the raw point given its cell:
+        d_p = [p, xyz_p - mean_cell, xy_p - center_cell (, |xyz_p|)]
+    so with kernel rows split as [W_pts | W_clu | W_cen (| W_dst)]:
+        z_p = d_p @ kernel + bias = p_aug @ M  +  w(cell)
+        M   = W_pts with W_clu added on the xyz rows and W_cen on xy
+              (+ a |xyz| row when with_distance)
+        w   = bias - mean_cell @ W_clu - center_cell @ W_cen   (per cell)
+    and because both relu and (+ w) are monotone,
+        canvas[cell] = max_p relu(z_p) = relu(segmax_p(p_aug @ M) + w[cell]).
+
+    Returns (M, w_clu, w_cen, bias) ready for `affine_canvas`."""
+    f = num_features
+    w_pts = kernel[:f]
+    w_clu = kernel[f:f + 3]
+    w_cen = kernel[f + 3:f + 5]
+    m = w_pts.at[0:3].add(w_clu).at[0:2].add(w_cen)
+    if with_distance:
+        m = jnp.concatenate([m, kernel[f + 5:f + 6]], axis=0)
+    return m, w_clu, w_cen, bias
+
+
+def affine_canvas(
+    points: jax.Array,
+    ctx: PointContext,
+    geom: PillarGeometry,
+    max_points: int,
+    kernel: jax.Array,
+    bias: jax.Array,
+    with_distance: bool = False,
+    exact_point_cap: bool = True,
+    compute_dtype=jnp.float32,
+    precision: str = "highest",
+    differentiable: bool = False,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Raw flat points -> post-PFN pseudo-image canvas, sort-based, with NO
+    duplicate-index scatter and NO per-point stats gather.
+
+    Replaces fused_frontend + activate_flat + canvas_from_activations for
+    single-layer bias-affine PFNs (every shipped reference config;
+    use_norm folds in eval mode — models/pfn.py:effective_affine).  Chip
+    cost structure (scripts/microbench.py): one multi-operand stable sort
+    keyed by flat cell id, one segmented scan for [xyz, 1] sums, one
+    segmented max for the activations, two 10k-row boundary gathers — the
+    scatter-add/scatter-max/stats-gather trio of the scatter impl
+    (~0.66/0.66/0.17 ms at 100k rows) disappears.
+
+    Exactness: the kept set, ranks and counts are bit-identical to
+    `fused_frontend`; per-cell sums accumulate in stream order like the
+    reference; activations differ from the decorate-then-matmul order only
+    by float re-association (tested to tolerance), and the final max/relu/
+    +w composition is exact by monotonicity.
+
+    Returns (B, ny, nx, C) canvas in compute_dtype.
+    """
+    if geom.nz != 1:
+        raise ValueError("affine canvas requires nz == 1")
+    m_pts = points.shape[0]
+    ncells = ctx.num_segments - 1
+    ftype = points.dtype
+    if use_pallas is None:
+        # the pallas pass is forward-only (no VJP rules registered) and only
+        # compiles on TPU (interpret mode covers CPU tests)
+        use_pallas = (not differentiable) and (
+            interpret or jax.default_backend() == "tpu")
+
+    mmat, w_clu, w_cen, bias = affine_pfn_weights(
+        kernel, bias, points.shape[1], geom, with_distance)
+
+    # Per-item cell space with stride C3+1 (each item's drop segment sits
+    # between its own cells and the next item's), so that every per-cell
+    # cost below is LINEAR in batch size and the concatenated per-item
+    # sorted streams remain globally non-decreasing.
+    b = ctx.batch
+    n_per = m_pts // b
+    c3 = geom.num_cells_3d
+    stride = c3 + 1
+    f = points.shape[1]
+    batch_ids = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_per)
+    local = jnp.where(ctx.valid, ctx.cell - batch_ids * c3, c3)
+    cell_strided = (batch_ids * stride + local).reshape(b, n_per)
+
+    # ONE stable multi-operand sort PER ITEM (lax.sort batches over leading
+    # dims) carries the raw columns.
+    cols2d = tuple(points[:, i].reshape(b, n_per) for i in range(f))
+    sorted_all = jax.lax.sort((cell_strided,) + cols2d, num_keys=1,
+                              is_stable=True, dimension=-1)
+
+    # pad every item to a chunk multiple with its own drop id (keeps kernel
+    # chunks from straddling items with colliding run ids)
+    chunk = 1024
+    pad = (-n_per) % chunk
+    n_pad = n_per + pad
+    cell_s2 = sorted_all[0]
+    if pad:
+        drop_ids = (jnp.arange(b, dtype=jnp.int32) * stride + c3)[:, None]
+        cell_s2 = jnp.concatenate(
+            [cell_s2, jnp.broadcast_to(drop_ids, (b, pad))], axis=1)
+    cell_s = cell_s2.reshape(b * n_pad)
+    spts = jnp.stack(
+        [jnp.pad(c, ((0, 0), (0, pad))) if pad else c
+         for c in sorted_all[1:]], axis=-1).reshape(b * n_pad, f)
+    local_s = cell_s2 % stride                       # (b, n_pad) per item
+    valid = (local_s < c3).reshape(-1)
+    cap = max_points if exact_point_cap else n_pad
+
+    if use_pallas:
+        from gndnet_tpu.ops.pallas_affine import (
+            affine_segment_scan, histogram_ends)
+
+        # pts8 layout [x, y, z, valid, extras..., dist?, 0 pad] (see
+        # pallas_affine module docstring); mmat8 rows follow it (row 3 = 0)
+        n_aug = f + (1 if with_distance else 0)
+        if n_aug + 1 > 8:
+            raise ValueError("affine pallas path supports <= 7 features")
+        m_flat = b * n_pad
+        parts = [spts[:, :3], valid.astype(ftype)[:, None], spts[:, 3:f]]
+        if with_distance:
+            parts.append(jnp.linalg.norm(spts[:, :3], axis=-1,
+                                         keepdims=True))
+        parts.append(jnp.zeros((m_flat, 8 - n_aug - 1), ftype))
+        pts8 = jnp.concatenate(parts, axis=-1)
+        mmat8 = jnp.zeros((8, mmat.shape[1]), mmat.dtype)
+        mmat8 = mmat8.at[0:3].set(mmat[0:3]).at[4:4 + f - 3].set(mmat[3:f])
+        if with_distance:
+            mmat8 = mmat8.at[4 + f - 3].set(mmat[f])
+        run_tot, run_max = affine_segment_scan(
+            cell_s, pts8, mmat8, cap=cap,
+            out_dtype=compute_dtype, chunk=chunk, interpret=interpret)
+        ends_local, counts_raw = histogram_ends(local_s, geom.ny, geom.nx)
+        ends = (ends_local
+                + (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
+                ).reshape(-1)
+        tot = run_tot[ends]
+        smax = run_max[ends]
+        count = jnp.where(counts_raw.reshape(-1) > 0, tot[:, 3], 0.0)
+    else:
+        pos = jnp.arange(b * n_pad, dtype=jnp.int32)
+        flags = _segment_flags(cell_s)
+        if exact_point_cap:
+            start_pos = jax.lax.cummax(jnp.where(flags, pos, 0))
+            kept = valid & ((pos - start_pos) < max_points)
+        else:
+            kept = valid
+        keptf = kept.astype(ftype)[:, None]
+
+        # per-cell [sum xyz, count] in stream order (exact, no cancellation)
+        xyz = spts[:, :3]
+        g = jnp.concatenate([xyz * keptf, keptf], axis=-1)
+        run_tot = segmented_scan_sum(g, flags)
+
+        # per-point activations a = p_aug @ M (the whole PFN linear minus
+        # the per-cell offset), in compute precision
+        p_aug = spts
+        if with_distance:
+            p_aug = jnp.concatenate(
+                [spts, jnp.linalg.norm(xyz, axis=-1, keepdims=True)],
+                axis=-1)
+        a = jnp.dot(p_aug.astype(compute_dtype), mmat.astype(compute_dtype),
+                    precision=jax.lax.Precision(precision))
+
+        neg = jnp.asarray(jnp.finfo(compute_dtype).min, compute_dtype)
+        a_masked = jnp.where(kept[:, None], a, neg)
+        # the int-key cummax is exact for bf16 but goes through bitcasts (no
+        # gradients); training takes the associative-scan form.  It runs
+        # per item on LOCAL ids (< 2^16 for every shipped grid).
+        if (compute_dtype == jnp.bfloat16 and stride < (1 << 16)
+                and not differentiable):
+            am3 = a_masked.reshape(b, n_pad, -1)
+            run_max = jax.vmap(
+                lambda v, cc: segmented_max_intkey(v, cc, 16)
+            )(am3, local_s).reshape(b * n_pad, -1)
+        else:
+            run_max = segmented_scan_max(a_masked, flags)
+
+        # run ends per strided cell id: searchsorted right - 1 on the
+        # globally non-decreasing stream (empty cells masked out)
+        cell_range = jnp.arange(ncells, dtype=cell_s.dtype)
+        qids = (cell_range // c3) * stride + cell_range % c3
+        ends = jnp.searchsorted(cell_s, qids, side="right") - 1
+        ends_c = jnp.clip(ends, 0, b * n_pad - 1)
+        tot = run_tot[ends_c]
+        smax = run_max[ends_c]
+        hit = cell_s[ends_c] == qids
+        count = jnp.where(hit, tot[:, 3], 0.0)
+    mean = tot[:, :3] / jnp.maximum(count, 1.0)[:, None]
+
+    # per-cell offset w = bias - mean@W_clu - center@W_cen on the dense grid
+    nx = geom.nx
+    cell_ids = jnp.arange(ncells, dtype=jnp.int32) % geom.num_cells_2d
+    ccx = (cell_ids % nx).astype(ftype)
+    ccy = (cell_ids // nx).astype(ftype)
+    vx, vy = geom.voxel_size[0], geom.voxel_size[1]
+    centers = jnp.stack(
+        [ccx * vx + (vx / 2.0 + geom.pc_range[0]),
+         ccy * vy + (vy / 2.0 + geom.pc_range[1])], axis=-1)
+    w_cell = (bias.astype(compute_dtype)
+              - mean.astype(compute_dtype) @ w_clu.astype(compute_dtype)
+              - centers.astype(compute_dtype) @ w_cen.astype(compute_dtype))
+
+    canvas = jax.nn.relu(smax + w_cell)
+    pad_floor = jax.nn.relu(bias.astype(compute_dtype))
+    occupied = count > 0
+    has_padding_row = occupied & (count < max_points)
+    canvas = jnp.where(has_padding_row[:, None],
+                       jnp.maximum(canvas, pad_floor[None, :]), canvas)
+    canvas = jnp.where(occupied[:, None], canvas, 0)
+    return canvas.reshape(ctx.batch, geom.ny, geom.nx, -1)
+
+
+# ---------------------------------------------------------------------------
 # sorted-stream fused frontend (pallas-accelerated alternative)
 # ---------------------------------------------------------------------------
 

@@ -56,9 +56,11 @@ def _conv3x3(x, kernel, bias, precision):
     return y + bias
 
 
-def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5):
+def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5, n_valid=None):
     """BatchNorm matching flax semantics; training statistics are psum-synced
-    over `sync_axes` (sync-BN).  Returns (y, new_stats)."""
+    over `sync_axes` (sync-BN).  `n_valid` overrides the local element count
+    when padded rows were zeroed out of x (they contribute 0 to the sums, so
+    only the divisor needs correcting).  Returns (y, new_stats)."""
     if not train:
         mean, var = s["mean"], s["var"]
         new = s
@@ -66,7 +68,8 @@ def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5):
         n_local = x.shape[0] * x.shape[1] * x.shape[2]
         sum1 = jnp.sum(x, axis=(0, 1, 2))
         sum2 = jnp.sum(x * x, axis=(0, 1, 2))
-        n = jnp.asarray(n_local, x.dtype)
+        n = jnp.asarray(n_local, x.dtype) if n_valid is None \
+            else n_valid.astype(x.dtype)
         for ax in sync_axes:
             sum1 = jax.lax.psum(sum1, ax)
             sum2 = jax.lax.psum(sum2, ax)
@@ -79,45 +82,103 @@ def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5):
     return y, new
 
 
-def _cbr(x, p, s, train, sync_axes, axis_name, axis_size, precision):
-    """halo -> conv3x3 -> BN -> relu (one ConvBNRelu block, sharded)."""
+def _cbr(x, p, s, train, sync_axes, axis_name, axis_size, precision,
+         mask=None):
+    """halo -> conv3x3 -> BN -> relu (one ConvBNRelu block, sharded).
+
+    `mask(x)` re-zeroes globally-out-of-range rows; it runs after the conv
+    (so BN statistics never see pad-row bias values) and after the relu (so
+    the next conv's halo sees the global SAME zero padding)."""
     xh = halo_exchange(x, axis_name, axis_size)
     y = _conv3x3(xh, p["conv"]["kernel"], p["conv"]["bias"], precision)
-    y, new_s = _bn(y, p["bn"], s["bn"], train, sync_axes)
-    return jax.nn.relu(y), {"bn": new_s}
+    n_valid = None
+    if mask is not None:
+        y, n_valid = mask(y)
+    y, new_s = _bn(y, p["bn"], s["bn"], train, sync_axes, n_valid=n_valid)
+    y = jax.nn.relu(y)
+    if mask is not None:
+        y, _ = mask(y)
+    return y, {"bn": new_s}
 
 
 def segnet_apply_spatial(enc_params, enc_stats, slab, *, train: bool,
                          axis_name: str, axis_size: int,
-                         sync_axes=(), precision: str = "highest"):
+                         sync_axes=(), precision: str = "highest",
+                         global_ny: int | None = None):
     """Spatially-sharded SegnetGndEst forward on an (B, Hl, W, C) slab.
 
-    Functionally identical to models.segnet.SegnetGndEst over the full image
-    when Hl * axis_size == ny and Hl % 4 == 0.  Returns
-    (pred_slab (B, Hl, W), new_enc_stats)."""
-    if slab.shape[1] % 4 != 0:
+    Bit-identical to models.segnet.SegnetGndEst over the full image when
+    Hl % 4 == 0 and Hl * axis_size >= global_ny (default: == ny, exact fit).
+    When global_ny < Hl * axis_size (e.g. ny=250 padded to 2x128 slabs), the
+    trailing pad rows are re-zeroed after every conv so the real rows see
+    exactly the global SAME zero padding, pad rows never pollute BN
+    statistics, and the pool/unpool floor-drop of odd heights matches the
+    unsharded model (pooling windows stay aligned because every slab
+    boundary is a multiple of 4).  Returns (pred_slab (B, Hl, W),
+    new_enc_stats)."""
+    hl0 = slab.shape[1]
+    if hl0 % 4 != 0:
         raise ValueError("slab height must be divisible by 4 (two pools)")
+    if global_ny is None:
+        global_ny = hl0 * axis_size
+    if global_ny > hl0 * axis_size:
+        raise ValueError(f"global_ny={global_ny} exceeds slab capacity "
+                         f"{hl0}x{axis_size}")
+    exact = global_ny == hl0 * axis_size
     new_stats = jax.tree_util.tree_map(lambda x: x, enc_stats)  # copy layout
+    dev = jax.lax.axis_index(axis_name)
+
+    def make_mask(gh: int, hl: int):
+        """Zero rows with global index >= gh; also report the local count of
+        valid (B*W*rows) elements for masked BN."""
+        if exact:
+            return None
+
+        def mask(x):
+            g = jnp.arange(x.shape[1]) + dev * hl
+            keep = g < gh
+            y = jnp.where(keep[None, :, None, None], x,
+                          jnp.zeros((), x.dtype))
+            n_valid = x.shape[0] * x.shape[2] * jnp.sum(keep)
+            return y, n_valid
+        return mask
+
     kw = dict(train=train, sync_axes=sync_axes, axis_name=axis_name,
               axis_size=axis_size, precision=precision)
 
-    def stage(x, name):
+    def stage(x, name, mask):
         p, s = enc_params[name], enc_stats[name]
-        x, s1 = _cbr(x, p["conv1"], s["conv1"], **kw)
-        x, s2 = _cbr(x, p["conv2"], s["conv2"], **kw)
+        x, s1 = _cbr(x, p["conv1"], s["conv1"], mask=mask, **kw)
+        x, s2 = _cbr(x, p["conv2"], s["conv2"], mask=mask, **kw)
         new_stats[name] = {"conv1": s1, "conv2": s2}
         return x
 
-    x = stage(slab, "down1")
+    def pre_pool(x, gh: int, mask):
+        # the unsharded pool floor-drops the trailing odd row (it is never
+        # read); here a pad row could pair with it in a window, so zero the
+        # dropped row first — its unpooled position must come back as 0
+        if mask is not None and gh % 2 == 1:
+            g = jnp.arange(x.shape[1]) + dev * x.shape[1]
+            keep = g < (gh - 1)
+            x = jnp.where(keep[None, :, None, None], x,
+                          jnp.zeros((), x.dtype))
+        return x
+
+    gh0 = global_ny
+    gh1 = gh0 // 2
+    m0 = make_mask(gh0, hl0)
+    m1 = make_mask(gh1, hl0 // 2)
+
+    x = stage(slab, "down1", m0)
     hw1 = x.shape[1:3]
-    x, idx1 = max_pool_argmax(x)
-    x = stage(x, "down2")
+    x, idx1 = max_pool_argmax(pre_pool(x, gh0, m0))
+    x = stage(x, "down2", m1)
     hw2 = x.shape[1:3]
-    x, idx2 = max_pool_argmax(x)
+    x, idx2 = max_pool_argmax(pre_pool(x, gh1, m1))
     x = max_unpool(x, idx2, hw2)
-    x = stage(x, "up2")
+    x = stage(x, "up2", m1)
     x = max_unpool(x, idx1, hw1)
-    x = stage(x, "up1")
+    x = stage(x, "up1", m0)
     xh = halo_exchange(x, axis_name, axis_size)
     pred = _conv3x3(xh, enc_params["regressor"]["kernel"],
                     enc_params["regressor"]["bias"], precision)
@@ -146,6 +207,20 @@ def _fused_canvas(cfg: GndNetConfig, params, points):
         pad_floor=pad_floor)
 
 
+def slab_height(ny: int, sp: int) -> int:
+    """Smallest per-device slab height that is a multiple of 4 (two pool
+    stages) covering ny rows over sp devices; hl * sp - ny trailing rows are
+    zero padding handled by segnet_apply_spatial's global_ny masking."""
+    return -(-ny // (4 * sp)) * 4
+
+
+def _pad_canvas(canvas: jax.Array, hl: int, sp: int) -> jax.Array:
+    pad = hl * sp - canvas.shape[1]
+    if pad:
+        canvas = jnp.pad(canvas, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    return canvas
+
+
 def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
                          mesh: Mesh) -> Callable:
     """Full dp x sp training step.
@@ -154,27 +229,28 @@ def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
     sp), slab slice, spatially-sharded SegNet, all_gather of the slab
     predictions over sp, loss on the full map.  Gradients: psum over sp
     (each sp device owns its slab's contribution) then pmean over dp.
-    Requires use_norm=False and ny % (4 * sp) == 0."""
+    Requires use_norm=False; any ny works (odd grids like fine_grid's 250
+    get zero-padded slabs with masked rows and masked BN counts)."""
     if cfg.use_norm:
         raise ValueError("spatial training requires use_norm=False")
     sp = mesh.shape["sp"]
     dp = mesh.shape["dp"]
-    if cfg.ny % (4 * sp) != 0:
-        raise ValueError(f"ny={cfg.ny} must be divisible by 4*sp={4 * sp}")
-    hl = cfg.ny // sp
+    hl = slab_height(cfg.ny, sp)
     total = loss_fn(cfg)
 
     def local_step(state: TrainState, points, labels):
         def compute(params):
-            canvas = _fused_canvas(cfg, params, points)
+            canvas = _pad_canvas(_fused_canvas(cfg, params, points), hl, sp)
             y0 = jax.lax.axis_index("sp") * hl
             slab = jax.lax.dynamic_slice_in_dim(canvas, y0, hl, axis=1)
             pred_slab, new_stats = segnet_apply_spatial(
                 params["encoder_decoder"],
                 state.batch_stats["encoder_decoder"], slab,
                 train=True, axis_name="sp", axis_size=sp,
-                sync_axes=("dp", "sp"), precision=cfg.matmul_precision)
+                sync_axes=("dp", "sp"), precision=cfg.matmul_precision,
+                global_ny=cfg.ny)
             pred = jax.lax.all_gather(pred_slab, "sp", axis=1, tiled=True)
+            pred = pred[:, :cfg.ny]
             return total(pred, labels), new_stats
 
         (loss, enc_stats), grads = jax.value_and_grad(
@@ -208,21 +284,21 @@ def make_spatial_infer(cfg: GndNetConfig, mesh: Mesh,
         raise ValueError("spatial inference path requires use_norm=False "
                          "(fold BN into the linear first)")
     sp = mesh.shape["sp"]
-    if cfg.ny % (4 * sp) != 0:
-        raise ValueError(f"ny={cfg.ny} must be divisible by 4*sp={4 * sp}")
-    hl = cfg.ny // sp
+    hl = slab_height(cfg.ny, sp)
     precision = precision or cfg.matmul_precision
 
     def local(variables, points):
         params = variables["params"]
-        canvas = _fused_canvas(cfg, params, points)
+        canvas = _pad_canvas(_fused_canvas(cfg, params, points), hl, sp)
         y0 = jax.lax.axis_index("sp") * hl
         slab = jax.lax.dynamic_slice_in_dim(canvas, y0, hl, axis=1)
         pred_slab, _ = segnet_apply_spatial(
             params["encoder_decoder"],
             variables["batch_stats"]["encoder_decoder"], slab,
-            train=False, axis_name="sp", axis_size=sp, precision=precision)
-        return jax.lax.all_gather(pred_slab, "sp", axis=1, tiled=True)
+            train=False, axis_name="sp", axis_size=sp, precision=precision,
+            global_ny=cfg.ny)
+        return jax.lax.all_gather(pred_slab, "sp", axis=1,
+                                  tiled=True)[:, :cfg.ny]
 
     sharded = jax.shard_map(
         local, mesh=mesh,

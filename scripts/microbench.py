@@ -187,6 +187,65 @@ def main():
     cases["runmax6_100kx64"] = (
         lambda i, c, v: capped_runmax(i, c, v), (cellr, vals64))
 
+    # --- sorted-frontend building blocks (round-2 cumsum/segscan design) --
+    cell_sorted = jnp.sort(cellr)
+    vals64s = vals64  # stand-in for activations in sorted order
+
+    cases["sort5_100k"] = (
+        lambda i, c, p: jax.lax.sort(
+            (c + pert_i(i), p[:, 0], p[:, 1], p[:, 2], p[:, 3]),
+            num_keys=1, is_stable=True)[1], (cellr, pts))
+    cases["cumsum_100kx4"] = (
+        lambda i, v: jnp.cumsum(v + i.astype(jnp.float32), axis=0), (vals4,))
+
+    def seg_max_assoc(i, c, v):
+        x = v + i.astype(jnp.float32)
+        flags = jnp.concatenate(
+            [jnp.ones((1,), bool), c[1:] != c[:-1]])[:, None]
+
+        def op(a, b):
+            (m1, f1), (m2, f2) = a, b
+            return jnp.where(f2, m2, jnp.maximum(m1, m2)), f1 | f2
+
+        out, _ = jax.lax.associative_scan(op, (x, flags), axis=0)
+        return out
+
+    cases["segmax_assoc_100kx64_f32"] = (
+        lambda i, c, v: seg_max_assoc(i, c, v), (cell_sorted, vals64s))
+
+    def seg_max_intkey(i, c, v):
+        """bf16 values -> 16-bit monotonic keys, cell id in the high bits,
+        ONE plain cummax over int32 does the whole segmented max exactly."""
+        x = (v + i.astype(jnp.float32)).astype(jnp.bfloat16)
+        bits = jax.lax.bitcast_convert_type(x, jnp.uint16)
+        key = jnp.where(bits >= 0x8000, ~bits, bits | 0x8000).astype(jnp.uint32)
+        t = (c.astype(jnp.uint32)[:, None] << 16) | key
+        run = jax.lax.cummax(t, axis=0)
+        k16 = (run & 0xFFFF).astype(jnp.uint16)
+        back = jnp.where(k16 >= 0x8000, k16 & 0x7FFF, ~k16)
+        return jax.lax.bitcast_convert_type(back.astype(jnp.uint16),
+                                            jnp.bfloat16)
+
+    cases["segmax_intkey_100kx64_bf16"] = (
+        lambda i, c, v: seg_max_intkey(i, c, v), (cell_sorted, vals64s))
+
+    cases["searchsorted_10k_in_100k"] = (
+        lambda i, c: jnp.searchsorted(c, jnp.arange(NCELL) + (pert_i(i) & 1)),
+        (cell_sorted,))
+    cases["gather_10kx64_from_100k"] = (
+        lambda i, e, v: (v + i.astype(jnp.float32))[e],
+        (jnp.linspace(0, M - 1, NCELL).astype(jnp.int32), vals64))
+
+    if not args.only or "floor" in args.only:
+        # dispatch-quantum floor: absolute per-iteration time of a trivial op
+        # at different lax.scan unroll factors
+        tiny = jnp.ones((128,), jnp.float32)
+        for u in (1, 2, 4, 8):
+            t = _scan_time(lambda i, v: v * (1.0 + 1e-6), (tiny,),
+                           reps=64, unroll=u)
+            print(f"floor_scan_unroll{u:<2d}              "
+                  f"{t/u*1e6:10.1f} us/op ({t*1e6:.1f} us/iter)", flush=True)
+
     reps = args.reps
     for name, (fn, inputs) in cases.items():
         if args.only and args.only not in name:

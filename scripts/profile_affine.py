@@ -1,0 +1,162 @@
+"""Stage-level TPU profile of the affine serving path.
+
+Marginal-cost methodology (see scripts/microbench.py): unroll slope inside
+one lax.scan dispatch.  Run after frontend changes to see where the
+milliseconds live.
+
+Usage: python scripts/profile_affine.py [--reps 6]
+"""
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def _scan_time(fn, inputs, reps, unroll, dispatches=3):
+    import jax
+    import jax.numpy as jnp
+
+    def chained(args):
+        def body(acc, i):
+            s = acc
+            for u in range(unroll):
+                out = fn(i * unroll + u, *args)
+                s = s + jnp.sum(
+                    jax.tree_util.tree_reduce(
+                        lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+                        out, jnp.float32(0)))
+            return s, ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(reps, dtype=jnp.int32))
+        return acc
+
+    g = jax.jit(chained)
+    float(g(inputs))
+    best = float("inf")
+    for _ in range(dispatches):
+        t0 = time.perf_counter()
+        float(g(inputs))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def timed(fn, inputs, reps=6, unroll=4):
+    t1 = _scan_time(fn, inputs, reps, 1)
+    tk = _scan_time(fn, inputs, reps, unroll + 1)
+    return max((tk - t1) / unroll, 0.0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gndnet_tpu.config import kitti_sem_config
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+    from gndnet_tpu.ops import pillarize as pz
+    from gndnet_tpu.ops.postproc import segment_cloud
+
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = kitti_sem_config().replace(
+        compute_dtype="bfloat16", matmul_precision="default",
+        fused_impl="affine")
+    model = GroundEstimatorNet(cfg)
+    _, variables = init_model(cfg)
+    geom = pz.PillarGeometry.from_config(cfg)
+
+    scan = np.load(
+        "/root/reference/data/training/seq_000/reduced_velo/000000.npy"
+    ).astype(np.float32)[:, :4]
+    n_eng = 114688   # engine bucket-padded size
+    pad = np.full((n_eng - scan.shape[0], 4), 1e3, np.float32)
+    pts_eng = jnp.asarray(np.concatenate([scan, pad]))
+    pts_raw = jnp.asarray(scan[:100000])
+    pts16 = jnp.asarray(np.broadcast_to(scan[None, :100000], (16, 100000, 4))
+                        .copy())
+
+    def bump(i, p):
+        return p + (i.astype(jnp.float32) * 1e-6) * jnp.asarray(
+            [0, 0, 1, 0], jnp.float32)
+
+    cases = {}
+    cases["fused_fwd_100k"] = (
+        lambda i, p: model.apply(variables, bump(i, p)[None], train=False,
+                                 method=GroundEstimatorNet.fused), (pts_raw,))
+    cases["fused_fwd_114k"] = (
+        lambda i, p: model.apply(variables, bump(i, p)[None], train=False,
+                                 method=GroundEstimatorNet.fused), (pts_eng,))
+    cases["fused_fwd_B16"] = (
+        lambda i, p: model.apply(variables, p + i.astype(jnp.float32) * 1e-6,
+                                 train=False,
+                                 method=GroundEstimatorNet.fused), (pts16,))
+
+    elev = jnp.zeros((cfg.nx, cfg.ny), jnp.float32)
+    cases["segment_cloud_114k"] = (
+        lambda i, p: segment_cloud(bump(i, p), cfg.grid_range,
+                                   cfg.voxel_size[0], elev, 0.08), (pts_eng,))
+
+    # frontend pieces at engine size
+    def cells_sorted(i, p):
+        ctx = pz.bin_points_batch(bump(i, p)[None], geom)
+        cols = tuple(p[:, k].reshape(1, -1) for k in range(4))
+        return jax.lax.sort((ctx.cell.reshape(1, -1),) + cols, num_keys=1,
+                            is_stable=True, dimension=-1)[0]
+    cases["bin_sort_114k"] = (cells_sorted, (pts_eng,))
+
+    def affine_canvas_only(i, p):
+        ctx = pz.bin_points_batch(bump(i, p)[None], geom)
+        layer_k = variables["params"]["voxel_feature_extractor"]["pfn_0"][
+            "linear"]["kernel"]
+        layer_b = variables["params"]["voxel_feature_extractor"]["pfn_0"][
+            "linear"]["bias"]
+        return pz.affine_canvas(
+            bump(i, p), ctx, geom, cfg.max_points_voxel, layer_k, layer_b,
+            compute_dtype=jnp.bfloat16, precision="default")
+    cases["affine_canvas_114k"] = (affine_canvas_only, (pts_eng,))
+
+    def segnet_only(i, canvas):
+        return model.apply(
+            variables, canvas + i.astype(jnp.bfloat16) * 1e-6, train=False,
+            method=lambda m, c, train: m.encoder_decoder(c, train=train))
+    canvas0 = jnp.zeros((1, cfg.ny, cfg.nx, 64), jnp.bfloat16)
+    cases["segnet_100x100"] = (segnet_only, (canvas0,))
+
+    from gndnet_tpu.ops.pallas_affine import histogram_ends
+    loc = jnp.sort(jnp.asarray(
+        np.random.default_rng(0).integers(0, 10001, (1, 114688))
+        .astype(np.int32)), axis=-1)
+    cases["histogram_ends_114k"] = (
+        lambda i, c: histogram_ends(c + (i - i), cfg.ny, cfg.nx)[1], (loc,))
+    loc16 = jnp.sort(jnp.asarray(
+        np.random.default_rng(0).integers(0, 10001, (16, 100352))
+        .astype(np.int32)), axis=-1)
+    cases["histogram_ends_B16"] = (
+        lambda i, c: histogram_ends(c + (i - i), cfg.ny, cfg.nx)[1], (loc16,))
+
+    def sort_b16(i, p):
+        ctx = pz.bin_points_batch(p + i.astype(jnp.float32) * 1e-6, geom)
+        cols = tuple(p[..., k] for k in range(4))
+        return jax.lax.sort((ctx.cell.reshape(16, -1),) + cols, num_keys=1,
+                            is_stable=True, dimension=-1)[0]
+    cases["bin_sort_B16"] = (sort_b16, (pts16,))
+
+    for name, (fn, inputs) in cases.items():
+        if args.only and args.only not in name:
+            continue
+        try:
+            dt = timed(fn, inputs, args.reps)
+            print(f"{name:24s} {dt*1e6:10.1f} us", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name:24s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

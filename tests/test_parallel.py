@@ -144,8 +144,96 @@ def test_spmd_grads_match_single_device():
 
 def test_spatial_constraint_errors():
     mesh = make_mesh(dp=1, sp=2)
-    bad = CFG.replace(pc_range=(0.0, -5.0, -4.0, 16.0, 5.0, 4.0))  # ny=10
-    with pytest.raises(ValueError, match="divisible"):
-        make_spatial_infer(bad, mesh)
     with pytest.raises(ValueError, match="use_norm"):
         make_spatial_infer(CFG.replace(use_norm=True), mesh)
+
+
+def _odd_cfg(ny=10, nx=16):
+    return CFG.replace(
+        pc_range=(0.0, -ny / 2.0, -4.0, float(nx), ny / 2.0, 4.0),
+        grid_range=(0.0, -ny / 2.0, float(nx), ny / 2.0))
+
+
+def _odd_batch(rng, cfg, b=4, n=512):
+    pts = np.zeros((b, n, 4), np.float32)
+    pts[..., 0] = rng.uniform(0.2, cfg.pc_range[3] - 0.2, (b, n))
+    pts[..., 1] = rng.uniform(cfg.pc_range[1] + 0.2, cfg.pc_range[4] - 0.2,
+                              (b, n))
+    pts[..., 2] = 0.05 * pts[..., 0] - 0.5 + rng.normal(0, 0.05, (b, n))
+    labels = np.zeros((b, cfg.ny, cfg.nx), np.float32)
+    labels[:] = (0.05 * (np.arange(cfg.nx) + 0.5) - 0.5)[None, None, :]
+    return jnp.asarray(pts), jnp.asarray(labels)
+
+
+@pytest.mark.parametrize("ny,sp", [(10, 2), (10, 4), (250, 2)])
+def test_spatial_infer_padded_odd_ny_matches_unsharded(ny, sp):
+    """Odd / non-divisible grid heights (fine_grid's 250 included) run under
+    spatial sharding with zero-padded slabs and stay bit-comparable to the
+    unsharded model (round-1 rejected these shapes entirely)."""
+    cfg = _odd_cfg(ny=ny)
+    pts, _ = _odd_batch(np.random.default_rng(12), cfg, b=2)
+    model, variables = init_model(cfg)
+    mesh = make_mesh(dp=1, sp=sp)
+    out = make_spatial_infer(cfg, mesh)(
+        replicate(mesh, variables), shard_batch(mesh, pts))
+    ref = model.apply(variables, pts, train=False,
+                      method=GroundEstimatorNet.fused)
+    assert out.shape == (2, cfg.ny, cfg.nx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_spmd_train_padded_odd_ny_matches_single_device():
+    """dp=1 x sp=2 training on ny=10 (padded slabs, masked BN counts) must
+    reproduce the single-device fused step's loss and parameter update.
+
+    beta=0: the smoothness term's cotangents oscillate around zero, and
+    their catastrophically-cancelled sums swing ~100% between DIFFERENT XLA
+    fusions of the same graph (measured eager-vs-jit on the single-device
+    step alone), which would drown the sharding signal this test is after;
+    the SmoothL1 term alone is well-conditioned."""
+    cfg = _odd_cfg(ny=10).replace(batch_size=2, beta=0.0)
+    pts, labels = _odd_batch(np.random.default_rng(13), cfg, b=2)
+    model, tx, state0 = create_train_state(cfg, steps_per_epoch=10)
+    single = make_train_step(model, tx, cfg)
+    s1, l1 = single(jax.tree_util.tree_map(jnp.copy, state0), pts, labels)
+
+    mesh = make_mesh(dp=1, sp=2)
+    step = make_spmd_train_step(model, tx, cfg, mesh)
+    s2, l2 = step(replicate(mesh, jax.tree_util.tree_map(jnp.copy, state0)),
+                  *shard_batch(mesh, (pts, labels)))
+    assert float(l2) == pytest.approx(float(l1), rel=1e-5)
+
+    # Noise floor: bias-style gradients here are catastrophically-cancelled
+    # sums whose value swings with XLA fusion choices alone (measured ~100%
+    # eager-vs-jit on the SAME single-device step).  Calibrate per-leaf
+    # tolerance against that same-function compilation noise instead of
+    # hand-picked constants.
+    with jax.disable_jit():
+        s3, _ = single(jax.tree_util.tree_map(jnp.copy, state0), pts, labels)
+    flat1 = jax.tree_util.tree_flatten_with_path(s1.params)[0]
+    flat2 = jax.tree_util.tree_leaves(s2.params)
+    flat3 = jax.tree_util.tree_leaves(s3.params)
+    for (path, pa), pb, pc in zip(flat1, flat2, flat3):
+        name = jax.tree_util.keystr(path)
+        pa, pb, pc = np.asarray(pa), np.asarray(pb), np.asarray(pc)
+        noise = np.max(np.abs(pa - pc))
+        bound = max(5 * noise, 1e-5 + 1e-3 * np.max(np.abs(pa)))
+        assert np.max(np.abs(pa - pb)) <= bound, (
+            f"{name}: sharded diff {np.max(np.abs(pa - pb)):.2e} vs "
+            f"compilation-noise bound {bound:.2e}")
+    # BN running stats see identical masked statistics
+    for ba, bb in zip(jax.tree_util.tree_leaves(s1.batch_stats),
+                      jax.tree_util.tree_leaves(s2.batch_stats)):
+        np.testing.assert_allclose(np.asarray(ba), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_slab_height():
+    from gndnet_tpu.parallel.spatial import slab_height
+
+    assert slab_height(100, 4) == 28  # 4*28=112 >= 100, mult of 4
+    assert slab_height(100, 1) == 100
+    assert slab_height(250, 2) == 128
+    assert slab_height(10, 2) == 8
+    assert slab_height(10, 4) == 4

@@ -297,3 +297,242 @@ def test_sorted_impl_through_model(rng):
                           method=GroundEstimatorNet.fused)
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_affine_canvas_matches_scatter_frontend(rng):
+    """fused_impl='affine' (sort + segmented scans + affine PFN split) must
+    agree with the scatter frontend to float-reassociation tolerance, for
+    both cap modes, with and without the distance feature, and its counts /
+    kept set must be bit-identical."""
+    from gndnet_tpu.ops.pillarize import (
+        affine_canvas,
+        bin_points_batch,
+        canvas_from_activations,
+        fused_frontend,
+    )
+
+    pts = np.stack([make_cloud(rng, n=300), make_cloud(rng, n=300)])
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+
+    for with_dist in (False, True):
+        d = 9 + int(with_dist)
+        w = jnp.asarray(rng.normal(size=(d, 16)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+        floor = jnp.maximum(b, 0)
+        for cap in (True, False):
+            dec_a, kept_a, count_a = fused_frontend(
+                flat, ctx, GEOM, 5, exact_point_cap=cap,
+                with_distance=with_dist)
+            acts_a = jnp.maximum(dec_a @ w + b, 0)
+            canvas_a = canvas_from_activations(
+                acts_a, ctx, kept_a, count_a, GEOM, 5, pad_floor=floor)
+
+            canvas_f = affine_canvas(
+                flat, ctx, GEOM, 5, w, b, with_distance=with_dist,
+                exact_point_cap=cap)
+            np.testing.assert_allclose(np.asarray(canvas_f),
+                                       np.asarray(canvas_a),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_affine_canvas_bf16_intkey_path(rng):
+    """bf16 compute triggers the int-key cummax segmax; it must equal the
+    associative-scan segmax bit for bit (both are exact maxima of the same
+    bf16 values)."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    pts = np.stack([make_cloud(rng, n=400)])
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    intkey = affine_canvas(flat, ctx, GEOM, 5, w, b,
+                           compute_dtype=jnp.bfloat16, differentiable=False)
+    scan = affine_canvas(flat, ctx, GEOM, 5, w, b,
+                         compute_dtype=jnp.bfloat16, differentiable=True)
+    assert intkey.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(scan, np.float32),
+                                  np.asarray(intkey, np.float32))
+
+
+def test_affine_impl_through_model(rng):
+    """GroundEstimatorNet with fused_impl='affine' == 'scatter' end to end,
+    forward and gradients."""
+    from gndnet_tpu.config import GndNetConfig
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+
+    cfg = GndNetConfig(
+        pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+        grid_range=(0.0, -8.0, 16.0, 8.0),
+        voxel_size=(1.0, 1.0, 8.0),
+        max_points_voxel=20, max_voxels=256, input_features=4)
+    model_a, variables = init_model(cfg)
+    pts = np.stack([make_cloud(rng, n=400, lo=(0, -8, -4), hi=(16, 8, 4))])
+    out_a = model_a.apply(variables, jnp.asarray(pts), train=False,
+                          method=GroundEstimatorNet.fused)
+    model_b = GroundEstimatorNet(cfg.replace(fused_impl="affine"))
+    out_b = model_b.apply(variables, jnp.asarray(pts), train=False,
+                          method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
+                               rtol=1e-4, atol=1e-5)
+
+    # gradients flow through the train path (train=True selects the
+    # differentiable XLA segmented scans; the pallas pass is forward-only)
+    def loss(m, v):
+        pred, _ = m.apply(v, jnp.asarray(pts), train=True,
+                          mutable=["batch_stats"],
+                          method=GroundEstimatorNet.fused)
+        return jnp.mean(pred ** 2)
+
+    g_a = jax.grad(lambda v: loss(model_a, v))(variables)["params"]
+    g_b = jax.grad(lambda v: loss(model_b, v))(variables)["params"]
+    flat_a = jax.tree_util.tree_leaves(g_a)
+    flat_b = jax.tree_util.tree_leaves(g_b)
+    for xa, xb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xa),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_affine_use_norm_folds_bn(rng):
+    """use_norm=True eval-mode BN folds into the affine weights: affine path
+    == pillar path on a BN model."""
+    from gndnet_tpu.config import GndNetConfig
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+    from gndnet_tpu.ops.pillarize import pillarize_batch, PillarGeometry
+
+    cfg = GndNetConfig(
+        pc_range=(0.0, -8.0, -4.0, 16.0, 8.0, 4.0),
+        grid_range=(0.0, -8.0, 16.0, 8.0),
+        voxel_size=(1.0, 1.0, 8.0),
+        max_points_voxel=20, max_voxels=256, input_features=4,
+        use_norm=True)
+    model, variables = init_model(cfg)
+    # make running stats non-trivial so folding is actually exercised
+    bs = jax.tree_util.tree_map(
+        lambda x: x + jnp.asarray(
+            rng.uniform(0.1, 0.5, x.shape).astype(np.float32)),
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": bs}
+
+    pts = np.stack([make_cloud(rng, n=400, lo=(0, -8, -4), hi=(16, 8, 4))])
+    geom = PillarGeometry.from_config(cfg)
+    batch = pillarize_batch(jnp.asarray(pts), geom, cfg.max_points_voxel,
+                            cfg.max_voxels)
+    out_ref = model.apply(variables, batch.voxels, batch.coors,
+                          batch.num_points, batch.mask, train=False)
+    model_f = GroundEstimatorNet(cfg.replace(fused_impl="affine"))
+    out_f = model_f.apply(variables, jnp.asarray(pts), train=False,
+                          method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_affine_pallas_kernel_matches_xla_scan_path(rng):
+    """The fused pallas pass (rank+sums+matmul+max with cross-chunk carries,
+    interpret mode on CPU) must produce the same canvas as the pure-XLA
+    segmented-scan path, including runs spanning chunk boundaries."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    # many duplicate cells + a giant run crossing several 128-row chunks
+    pts_list = [make_cloud(rng, n=700)]
+    big_run = np.tile(np.array([[3.5, 3.5, 0.1, 0.7]], np.float32), (340, 1))
+    big_run[:, 2] += np.linspace(-0.3, 0.3, 340).astype(np.float32)
+    pts = np.concatenate(pts_list + [big_run])[None]
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    for cap in (True, False):
+        ref = affine_canvas(flat, ctx, GEOM, 5, w, b, exact_point_cap=cap,
+                            use_pallas=False)
+        # chunk=128 forces the big run across multiple chunk carries; the
+        # public path pads N=1040 -> 1152
+        from gndnet_tpu.ops import pillarize as pz
+
+        old = pz.affine_canvas.__wrapped__ if hasattr(
+            pz.affine_canvas, "__wrapped__") else None
+        out = affine_canvas(flat, ctx, GEOM, 5, w, b, exact_point_cap=cap,
+                            use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_affine_pallas_histogram_ends(rng):
+    """histogram_ends == searchsorted(right)-1 per item, batched."""
+    from gndnet_tpu.ops.pallas_affine import histogram_ends
+
+    ny, nx, b = 8, 8, 3
+    ncells = ny * nx
+    cell = np.sort(rng.integers(0, ncells + 1, (b, 3000)), axis=-1
+                   ).astype(np.int32)
+    ends, counts = histogram_ends(jnp.asarray(cell), ny, nx)
+    for i in range(b):
+        ref_ends = np.searchsorted(cell[i], np.arange(ncells),
+                                   side="right") - 1
+        ref_counts = np.bincount(cell[i], minlength=ncells + 1)[:ncells]
+        np.testing.assert_array_equal(np.asarray(counts)[i], ref_counts)
+        occupied = ref_counts > 0
+        np.testing.assert_array_equal(np.asarray(ends)[i][occupied],
+                                      ref_ends[occupied])
+
+
+def test_affine_pallas_small_chunks_force_carries(rng):
+    """chunk=128 drives runs across many grid steps; totals and maxima at
+    run ends must match numpy reductions exactly."""
+    from gndnet_tpu.ops.pallas_affine import affine_segment_scan
+
+    ncells, n, cap = 40, 1024, 7
+    cell = np.sort(rng.integers(0, ncells, n)).astype(np.int32)
+    pts8 = np.zeros((n, 8), np.float32)
+    pts8[:, :3] = rng.normal(size=(n, 3))
+    pts8[:, 3] = 1.0
+    pts8[:, 4] = rng.uniform(size=n)
+    mmat8 = np.zeros((8, 16), np.float32)
+    for r in (0, 1, 2, 4):
+        mmat8[r] = rng.normal(size=16) * 0.3
+
+    tot, amax = affine_segment_scan(
+        jnp.asarray(cell), jnp.asarray(pts8), jnp.asarray(mmat8),
+        cap=cap, chunk=128, interpret=True)
+    tot, amax = np.asarray(tot), np.asarray(amax)
+
+    a_np = pts8 @ mmat8
+    for c in range(ncells):
+        idx = np.where(cell == c)[0]
+        if idx.size == 0:
+            continue
+        end = idx[-1]
+        kept = idx[:cap]
+        np.testing.assert_allclose(
+            tot[end, :3], pts8[kept, :3].sum(0), rtol=1e-5, atol=1e-5)
+        assert tot[end, 3] == len(kept)
+        np.testing.assert_allclose(
+            amax[end], a_np[kept].max(0), rtol=1e-5, atol=1e-6)
+
+
+def test_affine_canvas_batched_matches_per_scan(rng):
+    """A batch through affine_canvas must equal each scan run alone (the
+    per-item strided cell space keeps items fully independent), on both the
+    XLA and pallas paths."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    pts = np.stack([make_cloud(rng, n=300) for _ in range(3)])
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    for use_pallas, interp in ((False, False), (True, True)):
+        ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+        batched = affine_canvas(
+            jnp.asarray(pts.reshape(-1, 4)), ctx, GEOM, 5, w, b,
+            use_pallas=use_pallas, interpret=interp)
+        assert batched.shape == (3, 8, 8, 16)
+        for i in range(3):
+            ctx1 = bin_points_batch(jnp.asarray(pts[i:i + 1]), GEOM)
+            single = affine_canvas(
+                jnp.asarray(pts[i]), ctx1, GEOM, 5, w, b,
+                use_pallas=use_pallas, interpret=interp)
+            np.testing.assert_array_equal(np.asarray(batched[i]),
+                                          np.asarray(single[0]))
