@@ -51,7 +51,7 @@ class GroundInferenceEngine:
     QUANT_SCALE = 1.0 / 256.0   # 4 mm resolution, +-128 m range in int16
 
     def __init__(self, cfg: GndNetConfig, variables, threshold: float = 0.08,
-                 shift_cloud: bool | None = None, bucket: int = 2 ** 14,
+                 shift_cloud: bool | None = None, bucket: int = 4096,
                  transfer_dtype: str = "float32"):
         """transfer_dtype='int16' ships scans as 4 mm fixed-point (half the
         host->device bytes; dequantized on device).  Use when the host link

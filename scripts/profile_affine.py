@@ -16,20 +16,23 @@ sys.path.insert(0, ".")
 import numpy as np  # noqa: E402
 
 
-def _scan_time(fn, inputs, reps, unroll, dispatches=3):
+def timed(fn, inputs, reps=48, dispatches=4):
+    """Steady-state ring timing (the bench.py methodology): `reps` chained
+    applications in ONE lax.scan dispatch, host-anchored, min over
+    dispatches.  Every number includes the ~0.36 ms per-iteration dispatch
+    quantum, so DIFFERENCES between variants attribute stage costs; the
+    marginal-unroll trick is unreliable for large compound programs (the
+    interleaved copies change XLA's scheduling)."""
     import jax
     import jax.numpy as jnp
 
     def chained(args):
         def body(acc, i):
-            s = acc
-            for u in range(unroll):
-                out = fn(i * unroll + u, *args)
-                s = s + jnp.sum(
-                    jax.tree_util.tree_reduce(
-                        lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
-                        out, jnp.float32(0)))
-            return s, ()
+            out = fn(i, *args)
+            return acc + jnp.sum(
+                jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+                    out, jnp.float32(0))), ()
         acc, _ = jax.lax.scan(body, jnp.float32(0),
                               jnp.arange(reps, dtype=jnp.int32))
         return acc
@@ -44,15 +47,9 @@ def _scan_time(fn, inputs, reps, unroll, dispatches=3):
     return best / reps
 
 
-def timed(fn, inputs, reps=6, unroll=4):
-    t1 = _scan_time(fn, inputs, reps, 1)
-    tk = _scan_time(fn, inputs, reps, unroll + 1)
-    return max((tk - t1) / unroll, 0.0)
-
-
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--reps", type=int, default=48)
     ap.add_argument("--only", default="")
     args = ap.parse_args()
 
@@ -140,6 +137,59 @@ def main():
         .astype(np.int32)), axis=-1)
     cases["histogram_ends_B16"] = (
         lambda i, c: histogram_ends(c + (i - i), cfg.ny, cfg.nx)[1], (loc16,))
+
+    # kernel + sort variants at engine-padded size
+    from gndnet_tpu.ops.pallas_affine import affine_segment_scan
+
+    n_k = 102400
+    cell_k = jnp.sort(jnp.asarray(np.random.default_rng(1)
+                                  .integers(0, 10001, n_k).astype(np.int32)))
+    pts8_k = jnp.asarray(np.concatenate(
+        [np.random.default_rng(2).normal(size=(n_k, 3)).astype(np.float32),
+         np.ones((n_k, 1), np.float32),
+         np.random.default_rng(3).uniform(size=(n_k, 1)).astype(np.float32),
+         np.zeros((n_k, 3), np.float32)], axis=1))
+    mmat8_k = jnp.asarray(
+        np.random.default_rng(4).normal(size=(8, 64)).astype(np.float32) * .3)
+
+    for ck in (512, 1024, 2048):
+        cases[f"kernel_only_102k_c{ck}"] = (
+            (lambda ck: lambda i, c, p8, m8: affine_segment_scan(
+                c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+                out_dtype=jnp.bfloat16, chunk=ck)[1])(ck),
+            (cell_k, pts8_k, mmat8_k))
+
+    def sort1_packed(i, p):
+        ctx = pz.bin_points_batch(bump(i, p)[None], geom)
+        key = ctx.cell * jnp.int32(131072) + jnp.arange(
+            p.shape[0], dtype=jnp.int32)
+        skey = jax.lax.sort(key)
+        idx = skey % 131072
+        return p[idx]
+    cases["sort1_packed_gather_114k"] = (sort1_packed, (pts_eng,))
+
+    def sort2_stable(i, p):
+        ctx = pz.bin_points_batch(bump(i, p)[None], geom)
+        _, idx = jax.lax.sort(
+            (ctx.cell, jnp.arange(p.shape[0], dtype=jnp.int32)),
+            num_keys=1, is_stable=True)
+        return p[idx]
+    cases["sort2_idx_gather_114k"] = (sort2_stable, (pts_eng,))
+
+    from gndnet_tpu.infer import GroundInferenceEngine
+
+    engine = GroundInferenceEngine(cfg, variables, threshold=0.08,
+                                   shift_cloud=True)
+    cases["engine_run_114k"] = (
+        lambda i, p: engine._run(variables, bump(i, p)), (pts_eng,))
+
+    def fwd_plus_segment(i, p):
+        pts = bump(i, p)
+        pred = model.apply(variables, pts[None], train=False,
+                           method=GroundEstimatorNet.fused)[0]
+        return segment_cloud(pts, cfg.grid_range, cfg.voxel_size[0],
+                             pred.T, 0.08)
+    cases["fwd_plus_segment_114k"] = (fwd_plus_segment, (pts_eng,))
 
     def sort_b16(i, p):
         ctx = pz.bin_points_batch(p + i.astype(jnp.float32) * 1e-6, geom)

@@ -488,7 +488,12 @@ def test_affine_pallas_small_chunks_force_carries(rng):
     cell = np.sort(rng.integers(0, ncells, n)).astype(np.int32)
     pts8 = np.zeros((n, 8), np.float32)
     pts8[:, :3] = rng.normal(size=(n, 3))
-    pts8[:, 3] = 1.0
+    # caller-computed kept mask: rank within run < cap
+    rank = np.zeros(n, np.int64)
+    for c in range(ncells):
+        idx = np.where(cell == c)[0]
+        rank[idx] = np.arange(idx.size)
+    pts8[:, 3] = (rank < cap).astype(np.float32)
     pts8[:, 4] = rng.uniform(size=n)
     mmat8 = np.zeros((8, 16), np.float32)
     for r in (0, 1, 2, 4):
@@ -496,7 +501,7 @@ def test_affine_pallas_small_chunks_force_carries(rng):
 
     tot, amax = affine_segment_scan(
         jnp.asarray(cell), jnp.asarray(pts8), jnp.asarray(mmat8),
-        cap=cap, chunk=128, interpret=True)
+        chunk=128, interpret=True)
     tot, amax = np.asarray(tot), np.asarray(amax)
 
     a_np = pts8 @ mmat8
@@ -536,3 +541,30 @@ def test_affine_canvas_batched_matches_per_scan(rng):
                 use_pallas=use_pallas, interpret=interp)
             np.testing.assert_array_equal(np.asarray(batched[i]),
                                           np.asarray(single[0]))
+
+
+def test_affine_canvas_all_invalid_and_single_point(rng):
+    """Degenerate scans: all points out of range -> zero canvas; a single
+    in-range point -> exactly one occupied cell, on both paths."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    allbad = np.full((1, 50, 4), 100.0, np.float32)
+    ctx = bin_points_batch(jnp.asarray(allbad), GEOM)
+    for use_pallas in (False, True):
+        canvas = affine_canvas(jnp.asarray(allbad.reshape(-1, 4)), ctx,
+                               GEOM, 5, w, b, use_pallas=use_pallas,
+                               interpret=use_pallas)
+        assert np.all(np.asarray(canvas) == 0)
+
+    one = np.full((1, 50, 4), 100.0, np.float32)
+    one[0, 17] = [3.5, 2.5, 0.1, 0.7]
+    ctx = bin_points_batch(jnp.asarray(one), GEOM)
+    for use_pallas in (False, True):
+        canvas = np.asarray(affine_canvas(
+            jnp.asarray(one.reshape(-1, 4)), ctx, GEOM, 5, w, b,
+            use_pallas=use_pallas, interpret=use_pallas))
+        occ = np.nonzero(np.any(canvas[0] != 0, axis=-1))
+        assert list(zip(*occ)) == [(2, 3)]   # (y, x) of the one point
