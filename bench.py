@@ -165,13 +165,19 @@ def bench_batched(cfg, variables, iters: int, batch: int = 16) -> float:
     return batch / min(times)
 
 
-def bench_stream(cfg, variables, iters: int) -> dict:
-    """Sustained streaming replay (BASELINE.md driver config #4)."""
+def bench_stream(cfg, variables, iters: int, int16: bool = False) -> dict:
+    """Sustained streaming replay (BASELINE.md driver config #4).
+
+    Through THIS environment's ~30 MB/s dev relay the number measures the
+    tunnel (1.6 MB/scan caps it at ~19 Hz; --int16 halves that); on a
+    production host (PCIe DMA) the pipelined engine sustains the device
+    rate (--mode device)."""
     from gndnet_tpu.infer import GroundInferenceEngine
     from gndnet_tpu.serving.replay import replay
 
-    engine = GroundInferenceEngine(cfg, variables, threshold=0.16,
-                                   shift_cloud=True)
+    engine = GroundInferenceEngine(
+        cfg, variables, threshold=0.16, shift_cloud=True,
+        transfer_dtype="int16" if int16 else "float32")
     scans = [load_scan(cfg)] * min(iters, 64)
     rep = replay(engine, scans, target_hz=0.0,
                  repeat=max(1, iters // len(scans)))
@@ -225,8 +231,10 @@ def main():
     elif args.mode == "batched":
         hz = bench_batched(cfg, variables, args.iters)
     else:
-        rep = bench_stream(cfg, variables, args.iters)
+        rep = bench_stream(cfg, variables, args.iters, int16=args.int16)
         hz = rep["sustained_hz"]
+        extra["note"] = ("host->device loop through the dev relay "
+                         "(~30 MB/s tunnel, not the chip)")
 
     print(json.dumps({
         "metric": "scans/sec/chip (Hz)",

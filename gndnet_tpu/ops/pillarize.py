@@ -667,7 +667,10 @@ def affine_canvas(
     # multi-operand stable sort remains for huge grids (fine_grid's 62501
     # cells overflow the packing).
     idxcap = 1 << max(n_per - 1, 1).bit_length()
-    packed_ok = (stride - 1) * idxcap + (n_per - 1) < 2 ** 31
+    # b == 1 only: at B=16 the post-sort row gather (3 ns/row across B*N
+    # rows) outweighs what the packed sort saves, while the 5-operand sort
+    # amortizes across the batch (bin_sort_B16 ~0.18 ms/scan measured)
+    packed_ok = b == 1 and (stride - 1) * idxcap + (n_per - 1) < 2 ** 31
     pts2d = points.reshape(b, n_per, f)
     local2d = local.reshape(b, n_per)
     if packed_ok:
