@@ -99,6 +99,7 @@ def _kernel(cell_ref, pts_ref, mmat_ref, tot_ref, amax_ref,
 def affine_segment_scan(cell_sorted: jax.Array, pts8: jax.Array,
                         mmat8: jax.Array, *,
                         out_dtype=jnp.float32, chunk: int = 1024,
+                        max_prefix: int | None = None,
                         interpret: bool = False):
     """Fused sums/matmul/max pass over a run-contiguous stream.
 
@@ -111,16 +112,25 @@ def affine_segment_scan(cell_sorted: jax.Array, pts8: jax.Array,
         for rows that count toward sums and max, 0.0 for capped/drop/pad
         rows); N divisible by `chunk`.
       mmat8: (8, C) per-point weight matrix, row 3 zero.
+      max_prefix: when the caller only reads rows within `max_prefix` rows
+        of their run start (the exact point cap: everything past rank
+        cap-1 is masked, so the per-cell state is complete at row
+        start+cap-1), the scan statically drops to ceil(log2(max_prefix))
+        rounds.  Rows deeper into a run hold incomplete partials — callers
+        must gather at start+min(count, cap)-1, not at the run end.  Carry
+        correctness holds: a cross-chunk read is <= max_prefix rows from
+        its run start, which the shortened window still covers.
 
-    Returns (run_tot (N, 4) f32, run_max (N, C) out_dtype) where run-END rows
-    hold their cell's totals/max.
+    Returns (run_tot (N, 4) f32, run_max (N, C) out_dtype) where the rows
+    described above hold their cell's totals/max.
     """
     n = cell_sorted.shape[0]
     if n % chunk != 0:
         raise ValueError(f"N={n} must be divisible by chunk={chunk}")
     width = mmat8.shape[1]
     num_chunks = n // chunk
-    rounds = max(1, (chunk - 1).bit_length())
+    window = chunk if max_prefix is None else min(chunk, max_prefix)
+    rounds = max(1, (window - 1).bit_length())
 
     kernel = functools.partial(
         _kernel, chunk=chunk, rounds=rounds, out_dtype=out_dtype)

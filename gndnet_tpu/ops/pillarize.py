@@ -733,8 +733,17 @@ def affine_canvas(
             mmat8 = mmat8.at[4 + f - 3].set(mmat[f])
         run_tot, run_max = affine_segment_scan(
             cell_s, pts8, mmat8,
-            out_dtype=compute_dtype, chunk=chunk, interpret=interpret)
+            out_dtype=compute_dtype, chunk=chunk,
+            max_prefix=max_points if exact_point_cap else None,
+            interpret=interpret)
         ends_local, counts_raw = histogram_ends(local_s, geom.ny, geom.nx)
+        if exact_point_cap:
+            # the kernel's shortened scan window only completes rows within
+            # max_points of their run start; everything past the cap is
+            # masked anyway, so gather at start + min(count, cap) - 1
+            starts_local = ends_local - counts_raw + 1
+            ends_local = jnp.maximum(
+                starts_local + jnp.minimum(counts_raw, max_points) - 1, 0)
         ends = (ends_local
                 + (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
                 ).reshape(-1)
