@@ -164,6 +164,298 @@ def affine_segment_scan(cell_sorted: jax.Array, pts8: jax.Array,
     )(cell_sorted[:, None].astype(jnp.int32), pts8, mmat8)
 
 
+def _kernel_t(cell_ref, pts_ref, mmat_ref, tot_ref, amax_ref,
+              carry_scalars, carry_tot, carry_max, *,
+              chunk: int, rounds: int, rank_cap: int | None, out_dtype):
+    """Transposed-layout kernel body: stream position lives in LANES.
+
+    cell_ref (1, chunk) i32, pts_ref (8, chunk) f32 (row 3 = valid flag),
+    mmat_ref (C, 8) — the per-point matrix pre-transposed so the MXU
+    produces activations directly as (C, chunk).  See `affine_scan_t`.
+    """
+    i = pl.program_id(0)
+    cells = cell_ref[...]                    # (1, chunk) i32
+    pts = pts_ref[...]                       # (8, chunk) f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    pos = i * chunk + lane                   # global stream position
+    validf = pts[3:4, :]                     # (1, chunk) 0/1
+
+    carry_cell = jnp.where(i > 0, carry_scalars[0], -1)
+    prev_cell = jnp.where(lane == 0, carry_cell,
+                          pltpu.roll(cells, shift=1, axis=1))
+    in_first = (i > 0) & (cells == carry_cell)
+
+    if rank_cap is not None:
+        # occurrence rank via an UNSEGMENTED running max of start positions:
+        # runs are contiguous, so the most recent run-start at-or-before a row
+        # is that row's own start.  ceil(log2(cap)) lookback rounds suffice:
+        # rows whose start is further back have true rank >= 2^rounds >= cap,
+        # and any stale (older) start only makes the computed rank LARGER, so
+        # kept=0 either way.  Cross-chunk: rows with no start in-window fall
+        # back to the carried start of the run live at the previous chunk's
+        # end (same >=cap argument when stale).
+        cand = jnp.where(cells != prev_cell, pos, -1)
+        for k in range(rounds):
+            s = 1 << k
+            cand = jnp.where(lane >= s,
+                             jnp.maximum(cand, pltpu.roll(cand, shift=s,
+                                                          axis=1)), cand)
+        carry_start = jnp.where(i > 0, carry_scalars[1], 0)
+        start = jnp.where(cand >= 0, cand, carry_start)
+        keptf = validf * ((pos - start) < rank_cap).astype(jnp.float32)
+    else:
+        start = jnp.where(cells != prev_cell, pos, -1)  # carry bookkeeping
+        keptf = validf
+
+    g = pts[:4, :] * keptf                   # [xyz, valid] * kept
+
+    # PFN pre-activations on the MXU; round to out_dtype NOW (bit-compat
+    # with an out_dtype matmul result) but run the combine rounds in f32.
+    a = jnp.dot(mmat_ref[...].astype(out_dtype), pts.astype(out_dtype),
+                preferred_element_type=jnp.float32)
+    a = a.astype(out_dtype).astype(jnp.float32)
+    neg = jnp.float32(_BIG_NEG)
+    am = jnp.where(keptf > 0, a, neg)
+
+    # segmented inclusive prefix scans along lanes, one shared roll+predicate
+    # per round; (1, chunk) cell ops cost 1/64th of the (C, chunk) data ops
+    for k in range(rounds):
+        s = 1 << k
+        pc = pltpu.roll(cells, shift=s, axis=1)
+        ok = (lane >= s) & (pc == cells)
+        g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
+        am = jnp.where(ok, jnp.maximum(am, pltpu.roll(am, shift=s, axis=1)),
+                       am)
+
+    g = jnp.where(in_first, g + jnp.max(carry_tot[...], axis=1,
+                                        keepdims=True), g)
+    cm = jnp.max(carry_max[...], axis=1, keepdims=True)
+    am = jnp.where(in_first, jnp.maximum(am, cm), am)
+
+    tot_ref[...] = g
+    amax_ref[...] = am.astype(out_dtype)
+
+    # --- new carry: the LAST lane's inclusive state -----------------------
+    last = lane == (chunk - 1)
+    carry_scalars[0] = jnp.max(jnp.where(last, cells, -1))
+    if rank_cap is not None:
+        carry_scalars[1] = jnp.max(jnp.where(last, start, -1))
+    lt = jnp.max(jnp.where(last, g, jnp.float32(_BIG_NEG)), axis=1,
+                 keepdims=True)
+    lm = jnp.max(jnp.where(last, am, neg), axis=1, keepdims=True)
+    carry_tot[...] = jnp.broadcast_to(lt, carry_tot.shape)
+    carry_max[...] = jnp.broadcast_to(lm, carry_max.shape)
+
+
+def affine_scan_t(cell_sorted: jax.Array, pts8t: jax.Array,
+                  mmat8t: jax.Array, *,
+                  max_points: int | None = None,
+                  out_dtype=jnp.float32, chunk: int = 1024,
+                  interpret: bool = False):
+    """Transposed, rank-fusing successor of `affine_segment_scan`.
+
+    Stream position lives in the LANE dimension: cell ids are a (1, N) row
+    (8 vregs per roll instead of chunk/8 half-empty ones), the 4-channel sum
+    scan runs on (4, chunk) tiles, and the 64-channel max scan at full lane
+    occupancy — ~2.5x less VPU work than the row-major kernel.  The kept
+    mask (valid & rank < max_points) is computed IN-kernel from the cell
+    row (the reference's per-pillar counter, utils/point_cloud_ops.py:49-52)
+    so the caller no longer pays an XLA cummax over the stream.
+
+    Args:
+      cell_sorted: (N,) int32 run-contiguous ids (see affine_segment_scan).
+      pts8t: (8, N) f32, ROWS [x, y, z, valid, extra..., 0 pad]; row 3 is
+        the validity flag (1.0 in-range, 0.0 drop/pad).
+      mmat8t: (C, 8) transposed per-point weight matrix, column 3 zero.
+      max_points: exact per-cell point cap (None = keep every valid point).
+
+    Returns (run_tot (4, N) f32, run_max (C, N) out_dtype) in TRANSPOSED
+    layout; gather columns at start+min(count, cap)-1 (cap mode) or run
+    ends (no cap), as with `affine_segment_scan`.
+    """
+    n = cell_sorted.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be divisible by chunk={chunk}")
+    width = mmat8t.shape[0]
+    num_chunks = n // chunk
+    window = chunk if max_points is None else min(chunk, max_points)
+    rounds = max(1, (window - 1).bit_length())
+
+    kernel = functools.partial(
+        _kernel_t, chunk=chunk, rounds=rounds,
+        rank_cap=max_points, out_dtype=out_dtype)
+
+    def idx(i):
+        return (0, i)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(num_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((4, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, chunk), idx, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((4, n), jnp.float32),
+            jax.ShapeDtypeStruct((width, n), out_dtype),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((4, 128), jnp.float32),
+            pltpu.VMEM((width, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cell_sorted[None, :].astype(jnp.int32), pts8t, mmat8t)
+
+
+def _broadcast_kernel_t(cell_ref, vals_ref, out_ref, carry_scalar, carry_val,
+                        *, chunk: int, rounds: int):
+    """Segmented inclusive prefix-MAX along lanes with cross-chunk carries —
+    the generic broadcast used by the custom VJP: a payload placed at each
+    run's START row propagates to every row of the run (all other rows hold
+    -inf)."""
+    i = pl.program_id(0)
+    cells = cell_ref[...]                    # (1, chunk)
+    v = vals_ref[...]                        # (C, chunk) f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    in_first = (i > 0) & (cells == jnp.where(i > 0, carry_scalar[0], -1))
+
+    for k in range(rounds):
+        s = 1 << k
+        pc = pltpu.roll(cells, shift=s, axis=1)
+        ok = (lane >= s) & (pc == cells)
+        v = jnp.where(ok, jnp.maximum(v, pltpu.roll(v, shift=s, axis=1)), v)
+
+    cm = jnp.max(carry_val[...], axis=1, keepdims=True)
+    v = jnp.where(in_first, jnp.maximum(v, cm), v)
+    out_ref[...] = v
+
+    last = lane == (chunk - 1)
+    carry_scalar[0] = jnp.max(jnp.where(last, cells, -1))
+    lm = jnp.max(jnp.where(last, v, jnp.float32(_BIG_NEG)), axis=1,
+                 keepdims=True)
+    carry_val[...] = jnp.broadcast_to(lm, carry_val.shape)
+
+
+def segment_broadcast_t(cell_sorted: jax.Array, vals_t: jax.Array, *,
+                        chunk: int = 2048, interpret: bool = False):
+    """Per-run prefix-max broadcast over a run-contiguous stream.
+
+    vals_t: (C, N) f32 with the payload at each run's FIRST row and -inf
+    (any dominated value) elsewhere; returns (C, N) where every row of a run
+    holds the run's payload.  Full-window scan (runs of any length)."""
+    n = cell_sorted.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be divisible by chunk={chunk}")
+    width = vals_t.shape[0]
+    rounds = max(1, (chunk - 1).bit_length())
+
+    kernel = functools.partial(_broadcast_kernel_t, chunk=chunk,
+                               rounds=rounds)
+
+    def idx(i):
+        return (0, i)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // chunk,),
+        in_specs=[
+            pl.BlockSpec((1, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, chunk), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((width, chunk), idx,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, n), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((width, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cell_sorted[None, :].astype(jnp.int32), vals_t)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_scan_gather(max_points, out_dtype, chunk, interpret):
+    """custom_vjp'd (kernel scan + end-row gather) factory, cached per
+    static configuration.
+
+    Forward runs `affine_scan_t` and gathers the per-cell completed rows.
+    Backward hand-derives d(mmat8t) only:
+
+      smax[cell] = max over kept p of a_p,  a_p = round(mmat8t @ pts8t)
+      => da[:, p] = d_smax[cell_p] * [a_p == smax[cell_p]],
+         d mmat8t = da @ pts8t.T
+
+    The per-point (smax, d_smax) copies come from ONE unique-index scatter
+    of the (ncells, 2C) payload to run-start rows plus ONE segmented
+    prefix-max broadcast kernel over the sorted stream — no serialized
+    per-point gather.  Cotangents for points (and for the sums/count
+    output) are defined as ZERO: training differentiates parameters, not
+    point coordinates (matches the reference, which never backprops into
+    the cloud).  On exact argmax ties every tied row receives the full
+    cotangent (JAX's scan-twin splits across the where-chain instead);
+    ties only arise from duplicate points or low-precision rounding and
+    the difference is below training noise (tested at rtol 2e-3).
+    """
+
+    out_dtype = jnp.dtype(out_dtype)   # cached by name for hashability
+
+    @jax.custom_vjp
+    def scan_gather(cell_s, ends, starts, pts8t, mmat8t):
+        tot_t, max_t = affine_scan_t(
+            cell_s, pts8t, mmat8t, max_points=max_points,
+            out_dtype=out_dtype, chunk=chunk, interpret=interpret)
+        return tot_t.T[ends], max_t.T[ends]
+
+    def fwd(cell_s, ends, starts, pts8t, mmat8t):
+        tot_g, max_g = scan_gather(cell_s, ends, starts, pts8t, mmat8t)
+        return (tot_g, max_g), (cell_s, starts, pts8t, mmat8t, max_g)
+
+    def bwd(res, cts):
+        cell_s, starts, pts8t, mmat8t, max_g = res
+        _, d_max_g = cts
+        n = cell_s.shape[0]
+        width = mmat8t.shape[0]
+
+        # payload [smax | d_smax] at run-start rows, -inf elsewhere
+        payload = jnp.concatenate(
+            [max_g.astype(jnp.float32), d_max_g.astype(jnp.float32)],
+            axis=-1)
+        canvas = jnp.full((n, 2 * width), _BIG_NEG, jnp.float32)
+        canvas = canvas.at[starts].set(payload, mode="drop")
+        bcast = segment_broadcast_t(cell_s, canvas.T, chunk=chunk,
+                                    interpret=interpret)
+        smax_pp = bcast[:width].astype(out_dtype)       # (C, N)
+        ds_pp = bcast[width:]                            # (C, N) f32
+
+        # recompute activations + kept mask (cheap relative to the scans)
+        a = jnp.dot(mmat8t.astype(out_dtype), pts8t.astype(out_dtype),
+                    preferred_element_type=jnp.float32).astype(out_dtype)
+        validf = pts8t[3]
+        if max_points is not None:
+            pos = jnp.arange(n, dtype=jnp.int32)
+            is_start = jnp.concatenate(
+                [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
+            start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
+            keptf = validf * ((pos - start_pos) < max_points)
+        else:
+            keptf = validf
+        ind = (a == smax_pp) & (keptf[None, :] > 0)
+        da = jnp.where(ind, ds_pp, 0.0)
+        d_mmat = jnp.dot(da, pts8t.T.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return None, None, None, jnp.zeros_like(pts8t), d_mmat
+
+    scan_gather.defvjp(fwd, bwd)
+    return scan_gather
+
+
 def histogram_ends(local_cells: jax.Array, ny: int, nx: int):
     """Per-item run-END index per cell via factored one-hot histogram
     matmuls.

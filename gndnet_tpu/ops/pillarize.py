@@ -639,10 +639,10 @@ def affine_canvas(
     ncells = ctx.num_segments - 1
     ftype = points.dtype
     if use_pallas is None:
-        # the pallas pass is forward-only (no VJP rules registered) and only
-        # compiles on TPU (interpret mode covers CPU tests)
-        use_pallas = (not differentiable) and (
-            interpret or jax.default_backend() == "tpu")
+        # compiles on TPU (interpret mode covers CPU tests); differentiable
+        # callers get the custom-VJP wrapper (parameter grads only — point
+        # cotangents are defined as zero, see pallas_affine._make_scan_gather)
+        use_pallas = interpret or jax.default_backend() == "tpu"
 
     mmat, w_clu, w_cen, bias = affine_pfn_weights(
         kernel, bias, points.shape[1], geom, with_distance)
@@ -687,8 +687,10 @@ def affine_canvas(
         spts2d = jnp.stack(sorted_all[1:], axis=-1)
 
     # pad every item to a chunk multiple with its own drop id (keeps kernel
-    # chunks from straddling items with colliding run ids)
-    chunk = 1024
+    # chunks from straddling items with colliding run ids); the transposed
+    # kernel amortizes per-chunk overhead best at 2048 lanes
+    # (scripts/profile_affine.py: 660 vs 727 us at 1024)
+    chunk = 2048 if use_pallas else 1024
     pad = (-n_per) % chunk
     n_pad = n_per + pad
     if pad:
@@ -703,53 +705,51 @@ def affine_canvas(
 
     if use_pallas:
         from gndnet_tpu.ops.pallas_affine import (
-            affine_segment_scan, histogram_ends)
+            affine_scan_t, histogram_ends)
 
-        # kept mask in plain XLA (a 1-channel int cummax is nearly free
-        # here; the same scan inside the kernel wastes 127/128 VPU lanes)
-        if exact_point_cap:
-            pos = jnp.arange(b * n_pad, dtype=jnp.int32)
-            start_pos = jax.lax.cummax(
-                jnp.where(_segment_flags(cell_s), pos, 0))
-            kept = valid & ((pos - start_pos) < max_points)
-        else:
-            kept = valid
-
-        # pts8 layout [x, y, z, kept, extras..., dist?, 0 pad] (see
-        # pallas_affine module docstring); mmat8 rows follow it (row 3 = 0)
+        # pts8t layout: ROWS [x, y, z, valid, extras..., dist?, 0 pad] (see
+        # pallas_affine.affine_scan_t); the kept mask (valid & rank < cap)
+        # is computed IN-kernel on a (1, chunk) lane row, so no XLA cummax
+        # over the stream is needed.  mmat8t columns follow the row layout
+        # (column 3 = 0: the valid flag must not contribute to a).
         n_aug = f + (1 if with_distance else 0)
         if n_aug + 1 > 8:
             raise ValueError("affine pallas path supports <= 7 features")
         m_flat = b * n_pad
-        parts = [spts[:, :3], kept.astype(ftype)[:, None], spts[:, 3:f]]
+        sptst = spts.T                                    # (f, m_flat)
+        parts = [sptst[:3], valid.astype(ftype)[None, :], sptst[3:f]]
         if with_distance:
-            parts.append(jnp.linalg.norm(spts[:, :3], axis=-1,
+            parts.append(jnp.linalg.norm(sptst[:3], axis=0,
                                          keepdims=True))
-        parts.append(jnp.zeros((m_flat, 8 - n_aug - 1), ftype))
-        pts8 = jnp.concatenate(parts, axis=-1)
-        mmat8 = jnp.zeros((8, mmat.shape[1]), mmat.dtype)
-        mmat8 = mmat8.at[0:3].set(mmat[0:3]).at[4:4 + f - 3].set(mmat[3:f])
+        parts.append(jnp.zeros((8 - n_aug - 1, m_flat), ftype))
+        pts8t = jnp.concatenate(parts, axis=0)
+        mmat8t = jnp.zeros((mmat.shape[1], 8), mmat.dtype)
+        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T)
+        mmat8t = mmat8t.at[:, 4:4 + f - 3].set(mmat[3:f].T)
         if with_distance:
-            mmat8 = mmat8.at[4 + f - 3].set(mmat[f])
-        run_tot, run_max = affine_segment_scan(
-            cell_s, pts8, mmat8,
-            out_dtype=compute_dtype, chunk=chunk,
-            max_prefix=max_points if exact_point_cap else None,
-            interpret=interpret)
+            mmat8t = mmat8t.at[:, 4 + f - 3].set(mmat[f])
+        from gndnet_tpu.ops.pallas_affine import _make_scan_gather
+
         ends_local, counts_raw = histogram_ends(local_s, geom.ny, geom.nx)
+        starts_local = ends_local - counts_raw + 1
         if exact_point_cap:
             # the kernel's shortened scan window only completes rows within
             # max_points of their run start; everything past the cap is
             # masked anyway, so gather at start + min(count, cap) - 1
-            starts_local = ends_local - counts_raw + 1
             ends_local = jnp.maximum(
                 starts_local + jnp.minimum(counts_raw, max_points) - 1, 0)
-        ends = (ends_local
-                + (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
-                ).reshape(-1)
-        tot = run_tot[ends]
-        smax = run_max[ends]
-        count = jnp.where(counts_raw.reshape(-1) > 0, tot[:, 3], 0.0)
+        offs = (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
+        ends = (ends_local + offs).reshape(-1)
+        counts_flat = counts_raw.reshape(-1)
+        # run-start rows for the VJP's payload scatter; empty cells (whose
+        # ends/starts are meaningless) route out of bounds -> dropped
+        starts = jnp.where(counts_flat > 0,
+                           (starts_local + offs).reshape(-1), b * n_pad)
+        scan_gather = _make_scan_gather(
+            max_points if exact_point_cap else None,
+            jnp.dtype(compute_dtype).name, chunk, interpret)
+        tot, smax = scan_gather(cell_s, ends, starts, pts8t, mmat8t)
+        count = jnp.where(counts_flat > 0, tot[:, 3], 0.0)
     else:
         pos = jnp.arange(b * n_pad, dtype=jnp.int32)
         flags = _segment_flags(cell_s)

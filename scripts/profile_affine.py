@@ -159,6 +159,27 @@ def main():
                 out_dtype=jnp.bfloat16, chunk=ck)[1])(ck),
             (cell_k, pts8_k, mmat8_k))
 
+    from gndnet_tpu.ops.pallas_affine import affine_scan_t
+
+    pts8t_k = jnp.asarray(np.asarray(pts8_k).T.copy())
+    mmat8t_k = jnp.asarray(np.asarray(mmat8_k).T.copy())
+    for ck in (512, 1024, 2048):
+        cases[f"kernel_t_102k_c{ck}"] = (
+            (lambda ck: lambda i, c, p8, m8: affine_scan_t(
+                c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+                max_points=100, out_dtype=jnp.bfloat16, chunk=ck)[1])(ck),
+            (cell_k, pts8t_k, mmat8t_k))
+    cases["kernel_t_102k_nocap"] = (
+        lambda i, c, p8, m8: affine_scan_t(
+            c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+            max_points=None, out_dtype=jnp.bfloat16, chunk=1024)[1],
+        (cell_k, pts8t_k, mmat8t_k))
+    cases["kernel_t_102k_transposed_out"] = (
+        lambda i, c, p8, m8: affine_scan_t(
+            c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+            max_points=100, out_dtype=jnp.bfloat16, chunk=1024)[1].T,
+        (cell_k, pts8t_k, mmat8t_k))
+
     def sort1_packed(i, p):
         ctx = pz.bin_points_batch(bump(i, p)[None], geom)
         key = ctx.cell * jnp.int32(131072) + jnp.arange(

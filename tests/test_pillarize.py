@@ -518,6 +518,68 @@ def test_affine_pallas_small_chunks_force_carries(rng):
             amax[end], a_np[kept].max(0), rtol=1e-5, atol=1e-6)
 
 
+def test_affine_scan_t_in_kernel_rank_and_carries(rng):
+    """The transposed kernel computes the kept mask itself (valid & in-kernel
+    occurrence rank < cap).  With chunk=128 == cap lookback window, long runs
+    (length >> cap) span several chunks; the capped gather row
+    start+min(count, cap)-1 must hold exact numpy totals/maxima, counting
+    only valid rows.  Also exercises the no-cap mode (gather at run ends)."""
+    from gndnet_tpu.ops.pallas_affine import affine_scan_t
+
+    ncells, cap = 12, 7
+    # heavy-duplicate stream: a few giant runs (plus invalid rows sorted
+    # last like the real caller's drop segment)
+    sizes = rng.integers(1, 360, ncells)
+    cell = np.sort(np.concatenate(
+        [np.full(s, c, np.int32) for c, s in enumerate(sizes)]))
+    n_valid = cell.size
+    n = -(-((n_valid + 40)) // 128) * 128
+    cell = np.concatenate([cell, np.full(n - n_valid, ncells, np.int32)])
+    valid = (np.arange(n) < n_valid)
+    # a few mid-stream invalid rows too (valid=0 but a real cell id):
+    # they must not count toward sums/counts/max nor consume rank slots
+    drop = rng.choice(n_valid, 25, replace=False)
+    valid[drop] = False
+
+    pts8t = np.zeros((8, n), np.float32)
+    pts8t[:3] = rng.normal(size=(3, n))
+    pts8t[3] = valid.astype(np.float32)
+    pts8t[4] = rng.uniform(size=n)
+    mmat8t = np.zeros((16, 8), np.float32)
+    for r in (0, 1, 2, 4):
+        mmat8t[:, r] = rng.normal(size=16) * 0.3
+
+    a_np = (mmat8t @ pts8t).T                       # (n, 16)
+
+    for cap_mode in (cap, None):
+        tot_t, max_t = affine_scan_t(
+            jnp.asarray(cell), jnp.asarray(pts8t), jnp.asarray(mmat8t),
+            max_points=cap_mode, chunk=128, interpret=True)
+        tot, amax = np.asarray(tot_t).T, np.asarray(max_t).T
+        for c in range(ncells):
+            idx = np.where((cell == c) & valid)[0]
+            if idx.size == 0:
+                continue
+            run = np.where(cell == c)[0]
+            if cap_mode is None:
+                kept = idx
+                row = run[-1]
+            else:
+                # the reference's counter caps by rank among VALID rows? No:
+                # rank counts stream occurrences incl. invalid rows of the
+                # same cell — mirror the caller: rank = position - run start
+                rank = run - run[0]
+                keepm = valid[run] & (rank < cap_mode)
+                kept = run[keepm]
+                cnt_raw = run.size
+                row = run[0] + min(cnt_raw, cap_mode) - 1
+            np.testing.assert_allclose(
+                tot[row, :3], pts8t[:3, kept].sum(1), rtol=1e-5, atol=1e-5)
+            assert tot[row, 3] == len(kept)
+            np.testing.assert_allclose(
+                amax[row], a_np[kept].max(0), rtol=1e-5, atol=1e-6)
+
+
 def test_affine_canvas_batched_matches_per_scan(rng):
     """A batch through affine_canvas must equal each scan run alone (the
     per-item strided cell space keeps items fully independent), on both the
