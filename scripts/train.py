@@ -35,6 +35,16 @@ def main():
     p.add_argument("--train_skip", type=int, default=6,
                    help="use every k-th training frame (reference skip=6)")
     p.add_argument("--valid_skip", type=int, default=3)
+    p.add_argument("--impl", default=None,
+                   choices=[None, "scatter", "affine", "sorted"],
+                   help="fused frontend override: 'affine' runs the pallas "
+                        "mega-kernel fwd+bwd (3.3x step speedup at B=16, "
+                        "same trajectory to float tolerance); default keeps "
+                        "the config's impl (scatter = bit-parity)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 conv compute (serving precision) for "
+                        "training; pair with --impl affine for the fastest "
+                        "step (394 scans/s vs 98 at f32 scatter on a v5e)")
     args = p.parse_args()
 
     from gndnet_tpu.config import load_config
@@ -44,6 +54,11 @@ def main():
     cfg = load_config(args.config)
     if args.data_dir:
         cfg = cfg.replace(data_dir=args.data_dir)
+    if args.impl:
+        cfg = cfg.replace(fused_impl=args.impl)
+    if args.bf16:
+        cfg = cfg.replace(compute_dtype="bfloat16",
+                          matmul_precision="default")
     os.makedirs(args.workdir, exist_ok=True)
     logger = setup_logger("train", os.path.join(args.workdir, "training.log"))
     logger.info("config: %s", args.config)
