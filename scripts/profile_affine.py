@@ -180,6 +180,38 @@ def main():
             max_points=100, out_dtype=jnp.bfloat16, chunk=1024)[1].T,
         (cell_k, pts8t_k, mmat8t_k))
 
+    def front_to_maxt(i, p):
+        """bin + packed sort + gather + pts8t assembly + kernel (no
+        histogram/ends/epilogue) — isolates the stream half of
+        affine_canvas."""
+        p = bump(i, p)
+        ctx = pz.bin_points_batch(p[None], geom)
+        n = p.shape[0]
+        c3 = geom.num_cells_3d
+        local = jnp.where(ctx.valid, ctx.cell, c3)
+        idxcap = 1 << max(n - 1, 1).bit_length()
+        key = local * idxcap + jnp.arange(n, dtype=jnp.int32)
+        skey = jax.lax.sort(key)
+        local_s = skey // idxcap
+        idx_s = skey - local_s * idxcap
+        spts = p[idx_s]
+        valid_s = local_s < c3
+        sptst = spts.T
+        pts8t = jnp.concatenate(
+            [sptst[:3], valid_s.astype(jnp.float32)[None, :], sptst[3:4],
+             jnp.zeros((3, n), jnp.float32)], axis=0)
+        mk = variables["params"]["voxel_feature_extractor"]["pfn_0"][
+            "linear"]["kernel"]
+        mmat = pz.affine_pfn_weights(
+            mk, jnp.zeros((mk.shape[1],)), 4, geom)[0]
+        mmat8t = jnp.zeros((mmat.shape[1], 8), jnp.float32)
+        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T).at[:, 4:5].set(
+            mmat[3:4].T)
+        return affine_scan_t(
+            local_s, pts8t, mmat8t, max_points=100,
+            out_dtype=jnp.bfloat16, chunk=2048)[1]
+    cases["front_to_maxt_114k"] = (front_to_maxt, (pts_eng,))
+
     def sort1_packed(i, p):
         ctx = pz.bin_points_batch(bump(i, p)[None], geom)
         key = ctx.cell * jnp.int32(131072) + jnp.arange(
