@@ -58,7 +58,7 @@ def load_scan(cfg, sparse_beams: bool | None = None):
     return pts[:, : cfg.input_features]
 
 
-def bench_device(cfg, variables, iters: int, ring_size: int = 128) -> float:
+def bench_device(cfg, variables, iters: int, ring_size: int = 512) -> float:
     """Sustained single-scan rate per chip: B=1 full serving pipeline
     (shift + pillarize + PFN + scatter + SegNet + per-point segmentation).
 
@@ -66,9 +66,12 @@ def bench_device(cfg, variables, iters: int, ring_size: int = 128) -> float:
     processed by one `lax.scan` per dispatch with every result materialized
     (distinct inputs + stored outputs defeat XLA CSE — a naive repeat-one-
     buffer loop measures nothing).  One dispatch covers the whole ring so the
-    shared dev-relay's per-RPC latency (which varies 0.1-100 ms with pool
-    load and is not a property of the chip) amortizes away; the fastest
-    dispatch is used, which on a quiet relay matches the chip's steady state.
+    shared dev-relay's FIXED per-dispatch cost (~25 ms RPC+launch, measured
+    flat across 24-192 chained reps by scripts/probe_quantum.py; it varies
+    0.1-100 ms with pool load and is not a property of the chip) amortizes
+    away; the fastest dispatch is used, which on a quiet relay matches the
+    chip's steady state.  ring_size=512 leaves <50 us/scan of relay residue
+    (a production host overlaps dispatch with compute entirely).
     """
     import jax
     import jax.numpy as jnp

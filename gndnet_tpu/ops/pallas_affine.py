@@ -164,21 +164,22 @@ def affine_segment_scan(cell_sorted: jax.Array, pts8: jax.Array,
     )(cell_sorted[:, None].astype(jnp.int32), pts8, mmat8)
 
 
-def _kernel_t(cell_ref, pts_ref, mmat_ref, tot_ref, amax_ref,
+def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
               carry_scalars, carry_tot, carry_max, *,
               chunk: int, rounds: int, rank_cap: int | None, out_dtype):
     """Transposed-layout kernel body: stream position lives in LANES.
 
-    cell_ref (1, chunk) i32, pts_ref (8, chunk) f32 (row 3 = valid flag),
-    mmat_ref (C, 8) — the per-point matrix pre-transposed so the MXU
+    cell_ref (1, chunk) i32, pts_ref (A, chunk) f32 augmented features
+    (A >= 4; rows [x, y, z, extras...]), valid_ref (1, chunk) f32 0/1,
+    mmat_ref (C, A) — the per-point matrix pre-transposed so the MXU
     produces activations directly as (C, chunk).  See `affine_scan_t`.
     """
     i = pl.program_id(0)
     cells = cell_ref[...]                    # (1, chunk) i32
-    pts = pts_ref[...]                       # (8, chunk) f32
+    pts = pts_ref[...]                       # (A, chunk) f32
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
     pos = i * chunk + lane                   # global stream position
-    validf = pts[3:4, :]                     # (1, chunk) 0/1
+    validf = valid_ref[...]                  # (1, chunk) 0/1
 
     carry_cell = jnp.where(i > 0, carry_scalars[0], -1)
     prev_cell = jnp.where(lane == 0, carry_cell,
@@ -207,7 +208,11 @@ def _kernel_t(cell_ref, pts_ref, mmat_ref, tot_ref, amax_ref,
         start = jnp.where(cells != prev_cell, pos, -1)  # carry bookkeeping
         keptf = validf
 
-    g = pts[:4, :] * keptf                   # [xyz, valid] * kept
+    # g rows: [x*kept, y*kept, z*kept, kept] — row 3 of the (4, chunk) tile
+    # is the kept mask itself, not a point feature
+    riota = jax.lax.broadcasted_iota(jnp.int32, (4, chunk), 0)
+    g = jnp.where(riota == 3, jnp.broadcast_to(keptf, (4, chunk)),
+                  pts[:4, :] * keptf)
 
     # PFN pre-activations on the MXU; round to out_dtype NOW (bit-compat
     # with an out_dtype matmul result) but run the combine rounds in f32.
@@ -247,8 +252,8 @@ def _kernel_t(cell_ref, pts_ref, mmat_ref, tot_ref, amax_ref,
     carry_max[...] = jnp.broadcast_to(lm, carry_max.shape)
 
 
-def affine_scan_t(cell_sorted: jax.Array, pts8t: jax.Array,
-                  mmat8t: jax.Array, *,
+def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
+                  valid: jax.Array, mmat_t: jax.Array, *,
                   max_points: int | None = None,
                   out_dtype=jnp.float32, chunk: int = 1024,
                   interpret: bool = False):
@@ -264,19 +269,27 @@ def affine_scan_t(cell_sorted: jax.Array, pts8t: jax.Array,
 
     Args:
       cell_sorted: (N,) int32 run-contiguous ids (see affine_segment_scan).
-      pts8t: (8, N) f32, ROWS [x, y, z, valid, extra..., 0 pad]; row 3 is
-        the validity flag (1.0 in-range, 0.0 drop/pad).
-      mmat8t: (C, 8) transposed per-point weight matrix, column 3 zero.
+      pts_t: (A, N) f32 augmented features, ROWS [x, y, z, extras...],
+        A >= 4 (pad a zero row if needed); typically just the sorted
+        points transposed — no widening to 8 rows is materialized.
+      valid: (N,) or (1, N) f32/bool validity flag (1 in-range, 0
+        drop/pad).
+      mmat_t: (C, A) transposed per-point weight matrix (every row of
+        pts_t is a real feature; there is no in-band valid column).
       max_points: exact per-cell point cap (None = keep every valid point).
 
-    Returns (run_tot (4, N) f32, run_max (C, N) out_dtype) in TRANSPOSED
-    layout; gather columns at start+min(count, cap)-1 (cap mode) or run
-    ends (no cap), as with `affine_segment_scan`.
+    Returns (run_tot (4, N) f32 rows [sum x, sum y, sum z, kept count],
+    run_max (C, N) out_dtype) in TRANSPOSED layout; gather columns at
+    start+min(count, cap)-1 (cap mode) or run ends (no cap), as with
+    `affine_segment_scan`.
     """
     n = cell_sorted.shape[0]
     if n % chunk != 0:
         raise ValueError(f"N={n} must be divisible by chunk={chunk}")
-    width = mmat8t.shape[0]
+    aug = pts_t.shape[0]
+    if aug < 4:
+        raise ValueError("pts_t needs >= 4 rows (pad a zero row)")
+    width = mmat_t.shape[0]
     num_chunks = n // chunk
     window = chunk if max_points is None else min(chunk, max_points)
     rounds = max(1, (window - 1).bit_length())
@@ -293,8 +306,9 @@ def affine_scan_t(cell_sorted: jax.Array, pts8t: jax.Array,
         grid=(num_chunks,),
         in_specs=[
             pl.BlockSpec((1, chunk), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, chunk), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, 8), lambda i: (0, 0),
+            pl.BlockSpec((aug, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, aug), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -311,7 +325,8 @@ def affine_scan_t(cell_sorted: jax.Array, pts8t: jax.Array,
             pltpu.VMEM((width, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(cell_sorted[None, :].astype(jnp.int32), pts8t, mmat8t)
+    )(cell_sorted[None, :].astype(jnp.int32), pts_t,
+      valid.reshape(1, n).astype(pts_t.dtype), mmat_t)
 
 
 def _broadcast_kernel_t(cell_ref, vals_ref, out_ref, carry_scalar, carry_val,
@@ -386,11 +401,11 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret):
     static configuration.
 
     Forward runs `affine_scan_t` and gathers the per-cell completed rows.
-    Backward hand-derives d(mmat8t) only:
+    Backward hand-derives d(mmat_t) only:
 
-      smax[cell] = max over kept p of a_p,  a_p = round(mmat8t @ pts8t)
+      smax[cell] = max over kept p of a_p,  a_p = round(mmat_t @ pts_t)
       => da[:, p] = d_smax[cell_p] * [a_p == smax[cell_p]],
-         d mmat8t = da @ pts8t.T
+         d mmat_t = da @ pts_t.T
 
     The per-point (smax, d_smax) copies come from ONE unique-index scatter
     of the (ncells, 2C) payload to run-start rows plus ONE segmented
@@ -407,21 +422,23 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret):
     out_dtype = jnp.dtype(out_dtype)   # cached by name for hashability
 
     @jax.custom_vjp
-    def scan_gather(cell_s, ends, starts, pts8t, mmat8t):
+    def scan_gather(cell_s, ends, starts, pts_t, valid, mmat_t):
         tot_t, max_t = affine_scan_t(
-            cell_s, pts8t, mmat8t, max_points=max_points,
+            cell_s, pts_t, valid, mmat_t, max_points=max_points,
             out_dtype=out_dtype, chunk=chunk, interpret=interpret)
         return tot_t.T[ends], max_t.T[ends]
 
-    def fwd(cell_s, ends, starts, pts8t, mmat8t):
-        tot_g, max_g = scan_gather(cell_s, ends, starts, pts8t, mmat8t)
-        return (tot_g, max_g), (cell_s, starts, pts8t, mmat8t, max_g)
+    def fwd(cell_s, ends, starts, pts_t, valid, mmat_t):
+        tot_g, max_g = scan_gather(cell_s, ends, starts, pts_t, valid,
+                                   mmat_t)
+        return (tot_g, max_g), (cell_s, starts, pts_t, valid, mmat_t,
+                                max_g)
 
     def bwd(res, cts):
-        cell_s, starts, pts8t, mmat8t, max_g = res
+        cell_s, starts, pts_t, valid, mmat_t, max_g = res
         _, d_max_g = cts
         n = cell_s.shape[0]
-        width = mmat8t.shape[0]
+        width = mmat_t.shape[0]
 
         # payload [smax | d_smax] at run-start rows, -inf elsewhere
         payload = jnp.concatenate(
@@ -435,9 +452,9 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret):
         ds_pp = bcast[width:]                            # (C, N) f32
 
         # recompute activations + kept mask (cheap relative to the scans)
-        a = jnp.dot(mmat8t.astype(out_dtype), pts8t.astype(out_dtype),
+        a = jnp.dot(mmat_t.astype(out_dtype), pts_t.astype(out_dtype),
                     preferred_element_type=jnp.float32).astype(out_dtype)
-        validf = pts8t[3]
+        validf = valid.reshape(n).astype(jnp.float32)
         if max_points is not None:
             pos = jnp.arange(n, dtype=jnp.int32)
             is_start = jnp.concatenate(
@@ -448,9 +465,10 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret):
             keptf = validf
         ind = (a == smax_pp) & (keptf[None, :] > 0)
         da = jnp.where(ind, ds_pp, 0.0)
-        d_mmat = jnp.dot(da, pts8t.T.astype(jnp.float32),
+        d_mmat = jnp.dot(da, pts_t.T.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
-        return None, None, None, jnp.zeros_like(pts8t), d_mmat
+        return (None, None, None, jnp.zeros_like(pts_t),
+                jnp.zeros_like(valid), d_mmat)
 
     scan_gather.defvjp(fwd, bwd)
     return scan_gather

@@ -707,27 +707,28 @@ def affine_canvas(
         from gndnet_tpu.ops.pallas_affine import (
             affine_scan_t, histogram_ends)
 
-        # pts8t layout: ROWS [x, y, z, valid, extras..., dist?, 0 pad] (see
-        # pallas_affine.affine_scan_t); the kept mask (valid & rank < cap)
-        # is computed IN-kernel on a (1, chunk) lane row, so no XLA cummax
-        # over the stream is needed.  mmat8t columns follow the row layout
-        # (column 3 = 0: the valid flag must not contribute to a).
-        n_aug = f + (1 if with_distance else 0)
-        if n_aug + 1 > 8:
-            raise ValueError("affine pallas path supports <= 7 features")
-        m_flat = b * n_pad
+        # pts_t layout: ROWS [x, y, z, extras..., dist?] — just the sorted
+        # points transposed (A = f (+1 with distance) real feature rows; the
+        # valid flag ships as its own (1, N) row, so no 8-row widening is
+        # materialized).  The kept mask (valid & rank < cap) is computed
+        # IN-kernel on a (1, chunk) lane row, so no XLA cummax over the
+        # stream is needed.  mmat_t rows follow the feature-row layout.
         sptst = spts.T                                    # (f, m_flat)
-        parts = [sptst[:3], valid.astype(ftype)[None, :], sptst[3:f]]
         if with_distance:
-            parts.append(jnp.linalg.norm(sptst[:3], axis=0,
-                                         keepdims=True))
-        parts.append(jnp.zeros((8 - n_aug - 1, m_flat), ftype))
-        pts8t = jnp.concatenate(parts, axis=0)
-        mmat8t = jnp.zeros((mmat.shape[1], 8), mmat.dtype)
-        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T)
-        mmat8t = mmat8t.at[:, 4:4 + f - 3].set(mmat[3:f].T)
-        if with_distance:
-            mmat8t = mmat8t.at[:, 4 + f - 3].set(mmat[f])
+            pts_t = jnp.concatenate(
+                [sptst, jnp.linalg.norm(sptst[:3], axis=0,
+                                        keepdims=True)], axis=0)
+        else:
+            pts_t = sptst
+        if pts_t.shape[0] < 4:
+            pts_t = jnp.concatenate(
+                [pts_t, jnp.zeros((4 - pts_t.shape[0], pts_t.shape[1]),
+                                  ftype)], axis=0)
+            mmat = jnp.concatenate(
+                [mmat, jnp.zeros((4 - mmat.shape[0], mmat.shape[1]),
+                                 mmat.dtype)], axis=0)
+        valid_row = valid.astype(ftype)
+        mmat_t = mmat.T                                   # (C, A)
         from gndnet_tpu.ops.pallas_affine import _make_scan_gather
 
         ends_local, counts_raw = histogram_ends(local_s, geom.ny, geom.nx)
@@ -748,7 +749,8 @@ def affine_canvas(
         scan_gather = _make_scan_gather(
             max_points if exact_point_cap else None,
             jnp.dtype(compute_dtype).name, chunk, interpret)
-        tot, smax = scan_gather(cell_s, ends, starts, pts8t, mmat8t)
+        tot, smax = scan_gather(cell_s, ends, starts, pts_t, valid_row,
+                                mmat_t)
         count = jnp.where(counts_flat > 0, tot[:, 3], 0.0)
     else:
         pos = jnp.arange(b * n_pad, dtype=jnp.int32)

@@ -1,0 +1,167 @@
+"""Single-run cumulative decomposition of the B=1 serving pipeline at the
+true engine size (102400), plus quantum calibration (null body) so stage
+marginals are read off one consistent run.
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def timed(fn, inputs, reps=48, dispatches=5):
+    import jax
+    import jax.numpy as jnp
+
+    def chained(args):
+        def body(acc, i):
+            out = fn(i, *args)
+            return acc + jnp.sum(
+                jax.tree_util.tree_reduce(
+                    lambda a, x: a + jnp.sum(x.astype(jnp.float32)),
+                    out, jnp.float32(0))), ()
+        acc, _ = jax.lax.scan(body, jnp.float32(0),
+                              jnp.arange(reps, dtype=jnp.int32))
+        return acc
+
+    g = jax.jit(chained)
+    float(g(inputs))
+    best = float("inf")
+    for _ in range(dispatches):
+        t0 = time.perf_counter()
+        float(g(inputs))
+        best = min(best, time.perf_counter() - t0)
+    return best / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gndnet_tpu.config import kitti_sem_config
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet, init_model
+    from gndnet_tpu.ops import pillarize as pz
+    from gndnet_tpu.infer import GroundInferenceEngine
+
+    print("backend:", jax.default_backend(), flush=True)
+    cfg = kitti_sem_config().replace(
+        compute_dtype="bfloat16", matmul_precision="default",
+        fused_impl="affine")
+    model = GroundEstimatorNet(cfg)
+    _, variables = init_model(cfg)
+    geom = pz.PillarGeometry.from_config(cfg)
+
+    scan = np.load(
+        "/root/reference/data/training/seq_000/reduced_velo/000000.npy"
+    ).astype(np.float32)[:, :4]
+    n_eng = 102400   # engine bucket-padded size (bucket=4096)
+    pad = np.full((n_eng - scan.shape[0], 4), 1e9, np.float32)
+    pts_eng = jnp.asarray(np.concatenate([scan, pad]))
+
+    def bump(i, p):
+        return p + (i.astype(jnp.float32) * 1e-6) * jnp.asarray(
+            [0, 0, 1, 0], jnp.float32)
+
+    mk = variables["params"]["voxel_feature_extractor"]["pfn_0"][
+        "linear"]["kernel"]
+    mb = variables["params"]["voxel_feature_extractor"]["pfn_0"][
+        "linear"]["bias"]
+
+    def s0_null(i, p):
+        return p[0, 0] + i
+
+    def s1_bin(i, p):
+        return pz.bin_points_batch(bump(i, p)[None], geom).cell
+
+    def s2_sort(i, p):
+        p = bump(i, p)
+        ctx = pz.bin_points_batch(p[None], geom)
+        c3 = geom.num_cells_3d
+        local = jnp.where(ctx.valid, ctx.cell, c3)
+        idxcap = 1 << max(p.shape[0] - 1, 1).bit_length()
+        key = local * idxcap + jnp.arange(p.shape[0], dtype=jnp.int32)
+        return jax.lax.sort(key)
+
+    def s3_gather(i, p):
+        p = bump(i, p)
+        ctx = pz.bin_points_batch(p[None], geom)
+        c3 = geom.num_cells_3d
+        local = jnp.where(ctx.valid, ctx.cell, c3)
+        idxcap = 1 << max(p.shape[0] - 1, 1).bit_length()
+        key = local * idxcap + jnp.arange(p.shape[0], dtype=jnp.int32)
+        skey = jax.lax.sort(key)
+        local_s = skey // idxcap
+        idx_s = skey - local_s * idxcap
+        spts = p[idx_s]
+        valid_s = local_s < c3
+        sptst = spts.T
+        pts8t = jnp.concatenate(
+            [sptst[:3], valid_s.astype(jnp.float32)[None, :], sptst[3:4],
+             jnp.zeros((3, p.shape[0]), jnp.float32)], axis=0)
+        return local_s, pts8t
+
+    def s4_kernel(i, p):
+        from gndnet_tpu.ops.pallas_affine import affine_scan_t
+        local_s, pts8t = s3_gather(i, p)
+        mmat = pz.affine_pfn_weights(mk, jnp.zeros((mk.shape[1],)), 4,
+                                     geom)[0]
+        mmat8t = jnp.zeros((mmat.shape[1], 8), jnp.float32)
+        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T).at[:, 4:5].set(
+            mmat[3:4].T)
+        return affine_scan_t(local_s, pts8t, mmat8t, max_points=100,
+                             out_dtype=jnp.bfloat16, chunk=2048)
+
+    def s5_hist(i, p):
+        from gndnet_tpu.ops.pallas_affine import (affine_scan_t,
+                                                  histogram_ends)
+        local_s, pts8t = s3_gather(i, p)
+        mmat = pz.affine_pfn_weights(mk, jnp.zeros((mk.shape[1],)), 4,
+                                     geom)[0]
+        mmat8t = jnp.zeros((mmat.shape[1], 8), jnp.float32)
+        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T).at[:, 4:5].set(
+            mmat[3:4].T)
+        tot_t, max_t = affine_scan_t(local_s, pts8t, mmat8t, max_points=100,
+                                     out_dtype=jnp.bfloat16, chunk=2048)
+        ends, counts = histogram_ends(local_s[None], geom.ny, geom.nx)
+        return tot_t, max_t, ends, counts
+
+    def s6_gathers(i, p):
+        tot_t, max_t, ends, counts = s5_hist(i, p)
+        starts = ends - counts + 1
+        e = jnp.maximum(starts + jnp.minimum(counts, 100) - 1, 0)[0]
+        return tot_t.T[e], max_t.T[e]
+
+    def s7_canvas(i, p):
+        ctx = pz.bin_points_batch(bump(i, p)[None], geom)
+        return pz.affine_canvas(
+            bump(i, p), ctx, geom, cfg.max_points_voxel, mk, mb,
+            compute_dtype=jnp.bfloat16, precision="default")
+
+    def s8_fwd(i, p):
+        return model.apply(variables, bump(i, p)[None], train=False,
+                           method=GroundEstimatorNet.fused)
+
+    engine = GroundInferenceEngine(cfg, variables, threshold=0.08,
+                                   shift_cloud=True)
+
+    def s9_engine(i, p):
+        return engine._run(variables, bump(i, p))
+
+    cases = [
+        ("s0_null", s0_null), ("s1_bin", s1_bin), ("s2_sort", s2_sort),
+        ("s3_gather_assemble", s3_gather), ("s4_kernel", s4_kernel),
+        ("s5_hist", s5_hist), ("s6_gathers", s6_gathers),
+        ("s7_canvas", s7_canvas), ("s8_fused_fwd", s8_fwd),
+        ("s9_engine", s9_engine),
+    ]
+    prev = 0.0
+    for name, fn in cases:
+        dt = timed(fn, (pts_eng,)) * 1e6
+        print(f"{name:22s} {dt:9.1f} us   (+{dt - prev:8.1f})", flush=True)
+        prev = dt
+
+
+if __name__ == "__main__":
+    main()

@@ -161,24 +161,25 @@ def main():
 
     from gndnet_tpu.ops.pallas_affine import affine_scan_t
 
-    pts8t_k = jnp.asarray(np.asarray(pts8_k).T.copy())
-    mmat8t_k = jnp.asarray(np.asarray(mmat8_k).T.copy())
+    pts4t_k = jnp.asarray(np.asarray(pts8_k).T[:4].copy())
+    valid_k = jnp.asarray(np.ones((n_k,), np.float32))
+    mmat4t_k = jnp.asarray(np.asarray(mmat8_k).T[:, :4].copy())
     for ck in (512, 1024, 2048):
         cases[f"kernel_t_102k_c{ck}"] = (
-            (lambda ck: lambda i, c, p8, m8: affine_scan_t(
-                c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+            (lambda ck: lambda i, c, p4, v, m4: affine_scan_t(
+                c, p4 + i.astype(jnp.float32) * 1e-6, v, m4,
                 max_points=100, out_dtype=jnp.bfloat16, chunk=ck)[1])(ck),
-            (cell_k, pts8t_k, mmat8t_k))
+            (cell_k, pts4t_k, valid_k, mmat4t_k))
     cases["kernel_t_102k_nocap"] = (
-        lambda i, c, p8, m8: affine_scan_t(
-            c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+        lambda i, c, p4, v, m4: affine_scan_t(
+            c, p4 + i.astype(jnp.float32) * 1e-6, v, m4,
             max_points=None, out_dtype=jnp.bfloat16, chunk=1024)[1],
-        (cell_k, pts8t_k, mmat8t_k))
+        (cell_k, pts4t_k, valid_k, mmat4t_k))
     cases["kernel_t_102k_transposed_out"] = (
-        lambda i, c, p8, m8: affine_scan_t(
-            c, p8 + i.astype(jnp.float32) * 1e-6, m8,
+        lambda i, c, p4, v, m4: affine_scan_t(
+            c, p4 + i.astype(jnp.float32) * 1e-6, v, m4,
             max_points=100, out_dtype=jnp.bfloat16, chunk=1024)[1].T,
-        (cell_k, pts8t_k, mmat8t_k))
+        (cell_k, pts4t_k, valid_k, mmat4t_k))
 
     def front_to_maxt(i, p):
         """bin + packed sort + gather + pts8t assembly + kernel (no
@@ -195,20 +196,14 @@ def main():
         local_s = skey // idxcap
         idx_s = skey - local_s * idxcap
         spts = p[idx_s]
-        valid_s = local_s < c3
-        sptst = spts.T
-        pts8t = jnp.concatenate(
-            [sptst[:3], valid_s.astype(jnp.float32)[None, :], sptst[3:4],
-             jnp.zeros((3, n), jnp.float32)], axis=0)
+        valid_s = (local_s < c3).astype(jnp.float32)
+        pts4t = spts.T
         mk = variables["params"]["voxel_feature_extractor"]["pfn_0"][
             "linear"]["kernel"]
         mmat = pz.affine_pfn_weights(
             mk, jnp.zeros((mk.shape[1],)), 4, geom)[0]
-        mmat8t = jnp.zeros((mmat.shape[1], 8), jnp.float32)
-        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T).at[:, 4:5].set(
-            mmat[3:4].T)
         return affine_scan_t(
-            local_s, pts8t, mmat8t, max_points=100,
+            local_s, pts4t, valid_s, mmat.T, max_points=100,
             out_dtype=jnp.bfloat16, chunk=2048)[1]
     cases["front_to_maxt_114k"] = (front_to_maxt, (pts_eng,))
 

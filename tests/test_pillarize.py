@@ -541,19 +541,18 @@ def test_affine_scan_t_in_kernel_rank_and_carries(rng):
     drop = rng.choice(n_valid, 25, replace=False)
     valid[drop] = False
 
-    pts8t = np.zeros((8, n), np.float32)
-    pts8t[:3] = rng.normal(size=(3, n))
-    pts8t[3] = valid.astype(np.float32)
-    pts8t[4] = rng.uniform(size=n)
-    mmat8t = np.zeros((16, 8), np.float32)
-    for r in (0, 1, 2, 4):
-        mmat8t[:, r] = rng.normal(size=16) * 0.3
+    pts_t = np.zeros((4, n), np.float32)
+    pts_t[:3] = rng.normal(size=(3, n))
+    pts_t[3] = rng.uniform(size=n)                  # reflectance row
+    validf = valid.astype(np.float32)
+    mmat_t = (rng.normal(size=(16, 4)) * 0.3).astype(np.float32)
 
-    a_np = (mmat8t @ pts8t).T                       # (n, 16)
+    a_np = (mmat_t @ pts_t).T                       # (n, 16)
 
     for cap_mode in (cap, None):
         tot_t, max_t = affine_scan_t(
-            jnp.asarray(cell), jnp.asarray(pts8t), jnp.asarray(mmat8t),
+            jnp.asarray(cell), jnp.asarray(pts_t), jnp.asarray(validf),
+            jnp.asarray(mmat_t),
             max_points=cap_mode, chunk=128, interpret=True)
         tot, amax = np.asarray(tot_t).T, np.asarray(max_t).T
         for c in range(ncells):
@@ -574,7 +573,7 @@ def test_affine_scan_t_in_kernel_rank_and_carries(rng):
                 cnt_raw = run.size
                 row = run[0] + min(cnt_raw, cap_mode) - 1
             np.testing.assert_allclose(
-                tot[row, :3], pts8t[:3, kept].sum(1), rtol=1e-5, atol=1e-5)
+                tot[row, :3], pts_t[:3, kept].sum(1), rtol=1e-5, atol=1e-5)
             assert tot[row, 3] == len(kept)
             np.testing.assert_allclose(
                 amax[row], a_np[kept].max(0), rtol=1e-5, atol=1e-6)
