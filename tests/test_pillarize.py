@@ -442,19 +442,19 @@ def test_affine_pallas_kernel_matches_xla_scan_path(rng):
     pts = np.concatenate(pts_list + [big_run])[None]
     ctx = bin_points_batch(jnp.asarray(pts), GEOM)
     flat = jnp.asarray(pts.reshape(-1, 4))
-    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
-    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
 
-    for cap in (True, False):
+    # with_distance=True exercises the A=5 augmented-feature row layout of
+    # the slim kernel inputs (pts_t gains a |xyz| row, mmat_t a 5th column)
+    for cap, with_dist in ((True, False), (False, False), (True, True)):
+        d = 9 + int(with_dist)
+        w = jnp.asarray(rng.normal(size=(d, 16)).astype(np.float32) * 0.3)
+        b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
         ref = affine_canvas(flat, ctx, GEOM, 5, w, b, exact_point_cap=cap,
-                            use_pallas=False)
+                            with_distance=with_dist, use_pallas=False)
         # chunk=128 forces the big run across multiple chunk carries; the
         # public path pads N=1040 -> 1152
-        from gndnet_tpu.ops import pillarize as pz
-
-        old = pz.affine_canvas.__wrapped__ if hasattr(
-            pz.affine_canvas, "__wrapped__") else None
         out = affine_canvas(flat, ctx, GEOM, 5, w, b, exact_point_cap=cap,
+                            with_distance=with_dist,
                             use_pallas=True, interpret=True)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-5, atol=1e-6)
