@@ -742,15 +742,11 @@ def affine_canvas(
         offs = (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
         ends = (ends_local + offs).reshape(-1)
         counts_flat = counts_raw.reshape(-1)
-        # run-start rows for the VJP's payload scatter; empty cells (whose
-        # ends/starts are meaningless) route out of bounds -> dropped
-        starts = jnp.where(counts_flat > 0,
-                           (starts_local + offs).reshape(-1), b * n_pad)
         scan_gather = _make_scan_gather(
             max_points if exact_point_cap else None,
-            jnp.dtype(compute_dtype).name, chunk, interpret)
-        tot, smax = scan_gather(cell_s, ends, starts, pts_t, valid_row,
-                                mmat_t)
+            jnp.dtype(compute_dtype).name, chunk, interpret,
+            b, c3)
+        tot, smax = scan_gather(cell_s, ends, pts_t, valid_row, mmat_t)
         count = jnp.where(counts_flat > 0, tot[:, 3], 0.0)
     else:
         pos = jnp.arange(b * n_pad, dtype=jnp.int32)

@@ -479,6 +479,26 @@ def test_affine_pallas_histogram_ends(rng):
                                       ref_ends[occupied])
 
 
+def test_segment_broadcast_t(rng):
+    """The segmented prefix-max broadcast kernel: payload at run-start rows
+    reaches every row of its run, across chunk carries."""
+    from gndnet_tpu.ops.pallas_affine import segment_broadcast_t
+
+    sizes = rng.integers(1, 300, 9)
+    cell = np.sort(np.concatenate(
+        [np.full(s, c, np.int32) for c, s in enumerate(sizes)]))
+    n = -(-cell.size // 128) * 128
+    cell = np.concatenate([cell, np.full(n - cell.size, 99, np.int32)])
+    starts = np.flatnonzero(np.diff(cell, prepend=-1))
+    payload = rng.normal(size=(starts.size, 6)).astype(np.float32)
+    vals = np.full((n, 6), -3.0e38, np.float32)
+    vals[starts] = payload
+    out = np.asarray(segment_broadcast_t(
+        jnp.asarray(cell), jnp.asarray(vals.T), chunk=128, interpret=True))
+    expect = payload[np.searchsorted(cell[starts], cell)]
+    np.testing.assert_array_equal(out.T, expect)
+
+
 def test_affine_pallas_small_chunks_force_carries(rng):
     """chunk=128 drives runs across many grid steps; totals and maxima at
     run ends must match numpy reductions exactly."""
