@@ -181,6 +181,48 @@ def bench_batched(cfg, variables, iters: int, batch: int = 16,
     return ring_size * batch / min(times)
 
 
+def bench_train(cfg, iters: int, batch: int = 16) -> float:
+    """Sustained training throughput (driver config #2: batched training per
+    config_kittiSem): real jitted train steps (fwd + custom-VJP bwd + SGD)
+    chained with the state CARRIED so nothing is dead-code-eliminated;
+    host-anchored on the final loss + a parameter sum."""
+    import jax
+    import jax.numpy as jnp
+
+    from gndnet_tpu import train as tr
+
+    model, tx, state = tr.create_train_state(cfg, steps_per_epoch=100)
+    step = tr.make_train_step(model, tx, cfg)
+    scan = load_scan(cfg)
+    pts = jax.device_put(jnp.asarray(
+        np.broadcast_to(scan[None], (batch,) + scan.shape).copy()))
+    labels = jax.device_put(jnp.asarray(
+        np.zeros((batch, cfg.ny, cfg.nx), np.float32)))
+    reps = max(4, min(iters, 16))
+
+    def chained(state, pts, labels):
+        def body(carry, i):
+            s, acc = carry
+            s2, loss = step(s, pts + i.astype(jnp.float32) * 1e-6, labels)
+            return (s2, acc + loss), ()
+        (s_f, acc), _ = jax.lax.scan(
+            body, (state, jnp.float32(0)),
+            jnp.arange(reps, dtype=jnp.int32))
+        anchor = jax.tree_util.tree_reduce(
+            lambda a, x: a + jnp.sum(x).astype(jnp.float32),
+            s_f.params, jnp.float32(0))
+        return acc + anchor
+
+    g = jax.jit(chained)
+    float(g(state, pts, labels))  # compile
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(g(state, pts, labels))
+        best = min(best, time.perf_counter() - t0)
+    return reps * batch / best
+
+
 def bench_stream(cfg, variables, iters: int, int16: bool = False) -> dict:
     """Sustained streaming replay (BASELINE.md driver config #4).
 
@@ -203,7 +245,8 @@ def bench_stream(cfg, variables, iters: int, int16: bool = False) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="device",
-                    choices=["device", "e2e", "single", "batched", "stream"])
+                    choices=["device", "e2e", "single", "batched", "train",
+                             "stream"])
     ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--f32", action="store_true",
                     help="parity precision instead of serving bf16")
@@ -246,6 +289,9 @@ def main():
         hz = bench_e2e(cfg, variables, args.iters, int16=args.int16)
     elif args.mode == "batched":
         hz = bench_batched(cfg, variables, args.iters)
+    elif args.mode == "train":
+        hz = bench_train(cfg, args.iters)
+        extra["note"] = "full jitted train steps (fwd+bwd+SGD), B=16"
     else:
         rep = bench_stream(cfg, variables, args.iters, int16=args.int16)
         hz = rep["sustained_hz"]
