@@ -663,9 +663,11 @@ def affine_canvas(
     # (local id, stream index) packs into 31 bits, a single-key sort of the
     # packed int + one row gather beats the 5-operand stable sort by ~2x
     # (scripts/profile_affine.py: 0.47 vs 0.9 ms at 114k) — the embedded
-    # index also provides the stability the rank semantics need.  The
-    # multi-operand stable sort remains for huge grids (fine_grid's 62501
-    # cells overflow the packing).
+    # index also provides the stability the rank semantics need.  Huge
+    # grids that overflow the packing (fine_grid's 62501 cells) fall back
+    # to a (cell, iota) stable key sort + the same row gather — measured
+    # equal to packed at 114k (sort2_idx_gather 890 us vs 902) and ~1.6x
+    # cheaper than hauling all 4 feature columns through the sort network.
     idxcap = 1 << max(n_per - 1, 1).bit_length()
     # b == 1 only: at B=16 the post-sort row gather (3 ns/row across B*N
     # rows) outweighs what the packed sort saves, while the 5-operand sort
@@ -678,6 +680,12 @@ def affine_canvas(
         skey = jax.lax.sort(key, dimension=-1)
         local_s2 = skey // idxcap
         idx_s = skey - local_s2 * idxcap
+        spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
+    elif b == 1:
+        iota = jnp.broadcast_to(
+            jnp.arange(n_per, dtype=jnp.int32), (b, n_per))
+        local_s2, idx_s = jax.lax.sort(
+            (local2d, iota), num_keys=1, is_stable=True, dimension=-1)
         spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
     else:
         sorted_all = jax.lax.sort(

@@ -278,9 +278,9 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
         logger.info("epoch %d: train %.6f valid %.6f",
                     epoch, meter.avg, vmeter.avg)
 
+        is_best = vmeter.avg < lowest_loss
+        lowest_loss = min(vmeter.avg, lowest_loss)
         if mgr is not None:
-            is_best = vmeter.avg < lowest_loss
-            lowest_loss = min(vmeter.avg, lowest_loss)
             mgr.save(
                 epoch + 1,
                 {"state": jax.device_get(state), "epoch": epoch + 1,

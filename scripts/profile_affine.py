@@ -72,7 +72,7 @@ def main():
     scan = np.load(
         "/root/reference/data/training/seq_000/reduced_velo/000000.npy"
     ).astype(np.float32)[:, :4]
-    n_eng = 114688   # engine bucket-padded size
+    n_eng = 102400   # engine bucket-padded size (100000 -> 25 * 4096)
     pad = np.full((n_eng - scan.shape[0], 4), 1e3, np.float32)
     pts_eng = jnp.asarray(np.concatenate([scan, pad]))
     pts_raw = jnp.asarray(scan[:100000])
