@@ -87,7 +87,8 @@ def bench_device(cfg, variables, iters: int, ring_size: int = 512) -> float:
     def make_ring(base):
         # distinct per-slot z jitter, built on device (no relay transfer)
         jit_z = (jnp.arange(ring_size, dtype=jnp.float32) * 1e-4)[:, None, None]
-        return base[None] + jit_z * jnp.asarray([0, 0, 1, 0], jnp.float32)
+        return base[None] + jit_z * jnp.asarray(
+            [0, 0, 1, 0], jnp.float32)[: base.shape[-1]]
 
     ring = jax.block_until_ready(make_ring(base))
 

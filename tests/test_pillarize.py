@@ -479,6 +479,25 @@ def test_affine_pallas_histogram_ends(rng):
                                       ref_ends[occupied])
 
 
+def test_affine_pallas_three_feature_points(rng):
+    """camera-config shape: 3-feature (x, y, z) points exercise the A<4
+    zero-row pad of the slim kernel inputs; pallas-interpret must match the
+    XLA scan path."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    pts = np.stack([make_cloud(rng, n=500)[:, :3]])
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 3))
+    w = jnp.asarray(rng.normal(size=(8, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    ref = affine_canvas(flat, ctx, GEOM, 5, w, b, use_pallas=False)
+    out = affine_canvas(flat, ctx, GEOM, 5, w, b, use_pallas=True,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_segment_broadcast_t(rng):
     """The segmented prefix-max broadcast kernel: payload at run-start rows
     reaches every row of its run, across chunk carries."""
