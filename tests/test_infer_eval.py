@@ -57,6 +57,31 @@ def test_engine_infer_shapes_and_padding(rng):
     assert elev2.shape == (CFG.ny, CFG.nx)
 
 
+def test_engine_all_presets_smoke(rng):
+    """Every shipped preset must run scan -> (elevation, labels) end-to-end
+    through the serving engine (catches config-shape assumptions like a
+    hardcoded 4-feature jitter/pad anywhere on the path).  Small synthetic
+    scans + reduced num_points keep CPU compile time in check; the affine
+    impl runs the pallas path in interpret mode here."""
+    from gndnet_tpu.config import PRESETS, load_config
+
+    for name in PRESETS:
+        cfg = load_config(name).replace(num_points=512,
+                                        fused_impl="affine")
+        _, variables = init_model(cfg)
+        eng = GroundInferenceEngine(cfg, variables, threshold=0.08,
+                                    bucket=256)
+        n = 300
+        pts = np.zeros((n, cfg.input_features), np.float32)
+        pts[:, 0] = rng.uniform(cfg.pc_range[0], cfg.pc_range[3], n)
+        pts[:, 1] = rng.uniform(cfg.pc_range[1], cfg.pc_range[4], n)
+        pts[:, 2] = rng.uniform(-2.0, 0.5, n)
+        elev, labels = eng.infer(pts)
+        assert elev.shape == (cfg.ny, cfg.nx), name
+        assert labels.shape == (n,), name
+        assert np.isfinite(elev).all(), name
+
+
 def test_engine_segments_obstacles_from_plane(rng):
     """With a zero elevation prediction the engine must mark high points as
     obstacles; use an untrained model but check label consistency against the
