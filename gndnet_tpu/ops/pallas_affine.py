@@ -454,12 +454,16 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
         _, d_max_g = cts
         n = cell_s.shape[0]
 
-        smax_pp = pad_table(max_g)[cell_s].T                 # (C, N)
-        ds_pp = pad_table(d_max_g.astype(jnp.float32))[cell_s].T
+        # Everything stays in (N, C) layout — the gathered tables' natural
+        # row-major shape — so no (C, N) transposes of the big per-point
+        # arrays are materialized.
+        smax_nc = pad_table(max_g)[cell_s]                   # (N, C)
+        ds_nc = pad_table(d_max_g.astype(jnp.float32))[cell_s]
 
         # recompute activations + kept mask (cheap relative to the gathers)
-        a = jnp.dot(mmat_t.astype(out_dtype), pts_t.astype(out_dtype),
-                    preferred_element_type=jnp.float32).astype(out_dtype)
+        pts_na = pts_t.T                                     # (N, A)
+        a_nc = jnp.dot(pts_na.astype(out_dtype), mmat_t.T.astype(out_dtype),
+                       preferred_element_type=jnp.float32).astype(out_dtype)
         validf = valid.reshape(n).astype(jnp.float32)
         if max_points is not None:
             pos = jnp.arange(n, dtype=jnp.int32)
@@ -469,10 +473,11 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
             keptf = validf * ((pos - start_pos) < max_points)
         else:
             keptf = validf
-        ind = (a == smax_pp) & (keptf[None, :] > 0)
-        da = jnp.where(ind, ds_pp, 0.0)
-        d_mmat = jnp.dot(da, pts_t.T.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+        ind = (a_nc == smax_nc) & (keptf[:, None] > 0)
+        da_nc = jnp.where(ind, ds_nc, 0.0)
+        d_mmat = jnp.einsum("nc,na->ca", da_nc,
+                            pts_na.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
         return (None, None, jnp.zeros_like(pts_t),
                 jnp.zeros_like(valid), d_mmat)
 
