@@ -1,35 +1,37 @@
-"""Pallas TPU mega-kernel for the affine pillar frontend.
+"""Pallas TPU mega-kernels for the affine pillar frontend.
 
-One forward pass over the cell-sorted point stream computes, per row:
+The production pass is `affine_scan_t` (transposed layout: stream position
+in LANES, channels in sublanes).  One pass over the cell-sorted point
+stream computes, per row:
 
   * run_tot   — inclusive segmented running sum of [xyz*kept, kept] (f32),
   * run_max   — inclusive segmented running max of the PFN pre-activations
-                a = p_aug @ M (matmul on the MXU inside the kernel, masked
-                to kept rows),
+                a = mmat @ pts (matmul on the MXU inside the kernel,
+                masked to kept rows),
+  * kept      — IN-kernel: valid & occurrence-rank < cap, the reference's
+                per-pillar point counter (utils/point_cloud_ops.py:49-52),
+                derived from the (1, chunk) cell row via capped lookback
+                rounds,
 
 carrying the partial state of the run that spans a chunk boundary in
-VMEM/SMEM scratch across sequential grid steps.  Run-END rows therefore hold
-their cell's complete [sums, count] and max — `affine_canvas` gathers them
-into the dense canvas with one unique-index gather.
+VMEM/SMEM scratch across sequential grid steps.  With the exact point cap,
+rows at start+min(count, cap)-1 hold their cell's complete [sums, count]
+and max — `affine_canvas` gathers them into the dense canvas with one
+unique-index gather; `_make_scan_gather` wraps scan+gather in a custom VJP
+whose backward delivers per-point payloads by ONE row gather from a
+strided cell-id table.
 
-The kept mask (rank < max_points & valid — the reference's per-pillar point
-counter, utils/point_cloud_ops.py:49-52) is computed by the CALLER in plain
-XLA and shipped in pts8 column 3: a 1-channel int cummax is nearly free in
-XLA, while the same scan inside the kernel costs ~10 pointer-jump rounds on
-(chunk, 1) tiles that use 1/128th of the VPU lanes.
-
-Why a kernel for the rest: XLA lowers wide segmented scans to O(n log n)
-HBM passes (~1.4-2 ms for (100k, 64) on a v5e, scripts/microbench.py) while
-this kernel streams the data once (~30 MB) and does the log2(chunk) combine
+Why a kernel: XLA lowers wide segmented scans to O(n log n) HBM passes
+(~1.4-2 ms for (100k, 64) on a v5e, scripts/microbench.py) while this
+kernel streams the data once (~30 MB) and runs the log2(window) combine
 rounds on VMEM tiles, sharing one cells-roll per round between the sum and
 max scans.  Mosaic rules honored (the axon quirks memory): pltpu.roll
-instead of odd concats, 32-bit lanes only inside rounds, chunk kept at 1024
-so unrolled-round temporaries fit VMEM.
+instead of odd concats, 32-bit lanes inside rounds.
 
-The layout contract with the caller: `pts8` packs [x, y, z, kept, feat4...,
-dist?, 0...] so that the masked stats columns are simply
-pts8[:, :4] * kept — no in-kernel concatenation — and M's rows follow the
-same layout (row 3 zero: the kept column must not contribute to a).
+`affine_segment_scan` (row-major layout, caller-computed kept mask in pts8
+column 3) is the retained predecessor — same math, ~2.5x more VPU work —
+kept as a covered reference implementation; see its docstring for the
+pts8 layout contract.
 """
 
 from __future__ import annotations
