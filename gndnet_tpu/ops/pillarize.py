@@ -696,9 +696,9 @@ def affine_canvas(
 
     # pad every item to a chunk multiple with its own drop id (keeps kernel
     # chunks from straddling items with colliding run ids); the transposed
-    # kernel amortizes per-chunk overhead best at 2048 lanes
-    # (scripts/profile_affine.py: 660 vs 727 us at 1024)
-    chunk = 2048 if use_pallas else 1024
+    # kernel amortizes per-chunk overhead best at 4096 lanes
+    # (654/683/727 us at 4096/2048/1024, scripts/profile_affine.py probes)
+    chunk = 4096 if use_pallas else 1024
     pad = (-n_per) % chunk
     n_pad = n_per + pad
     if pad:
