@@ -697,8 +697,14 @@ def affine_canvas(
     # pad every item to a chunk multiple with its own drop id (keeps kernel
     # chunks from straddling items with colliding run ids); the transposed
     # kernel amortizes per-chunk overhead best at 4096 lanes
-    # (654/683/727 us at 4096/2048/1024, scripts/profile_affine.py probes)
-    chunk = 4096 if use_pallas else 1024
+    # (654/683/727 us at 4096/2048/1024, scripts/profile_affine.py probes).
+    # f32 output doubles the unrolled-round live ranges and chunk=4096 sends
+    # the Mosaic compile into double-digit MINUTES (observed on v5e) — keep
+    # f32 at 2048.
+    if use_pallas:
+        chunk = 4096 if jnp.dtype(compute_dtype).itemsize <= 2 else 2048
+    else:
+        chunk = 1024
     pad = (-n_per) % chunk
     n_pad = n_per + pad
     if pad:
