@@ -21,6 +21,7 @@ preprocessing, not the TPU hot path.
 from __future__ import annotations
 
 import logging
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 from dataclasses import dataclass
@@ -199,9 +200,27 @@ def process_frame(cloud: np.ndarray, cfg: GndNetConfig,
 def generate_sequence(sequence_dir: str, out_dir: str, cfg: GndNetConfig,
                       frame_step: int = 1, start: int = 0,
                       count: int | None = None,
-                      logger=logging.root) -> int:
+                      index_base: int | None = None,
+                      seed: int | None = None,
+                      logger=logging.root):
     """Process one SemanticKITTI sequence dir (velodyne/ + labels/) into
-    out_dir/{reduced_velo,gnd_labels}/%06d.npy.  Returns frames written."""
+    out_dir/{reduced_velo,gnd_labels}/%06d.npy.
+
+    Default mode (`index_base=None`): compact serial numbering — the k-th
+    frame that yields ground becomes %06d of k.  Returns frames written.
+
+    Block mode (`index_base=j0`): the slice is one `frames_per_block` block
+    of the stepped frame list (reference work split,
+    semKitti_morph_data_camera.py:332-348).  The j-th frame of the slice is
+    written POSITIONALLY as index_base+j (skips leave gaps) and the return
+    value is the list of written positions; `generate_dataset` compacts the
+    union of all blocks afterwards, making the final files identical to a
+    serial run.
+
+    `seed` derives a per-frame resampling rng from (seed, global position)
+    so outputs are deterministic and block/serial runs agree bit-for-bit
+    (None keeps the reference's unseeded global-rng behaviour).
+    """
     velo_dir = os.path.join(sequence_dir, "velodyne")
     label_dir = os.path.join(sequence_dir, "labels")
     frames = sorted(f.split(".")[0] for f in os.listdir(label_dir))
@@ -214,8 +233,11 @@ def generate_sequence(sequence_dir: str, out_dir: str, cfg: GndNetConfig,
 
     aug = AugmentationPipeline(cfg.augmentation, cfg.grid_range,
                                cfg.voxel_size)
-    written = 0
-    for name in frames:
+    positions: list[int] = []
+    for j, name in enumerate(frames):
+        pos = (index_base or 0) + j
+        rng = (np.random.default_rng((seed, pos))
+               if seed is not None else None)
         cloud = load_scan(os.path.join(velo_dir, f"{name}.bin"),
                           os.path.join(label_dir, f"{name}.label"))
         if cfg.data_prep.camera_fov:
@@ -223,46 +245,98 @@ def generate_sequence(sequence_dir: str, out_dir: str, cfg: GndNetConfig,
                 cloud, cfg.data_prep.fov_degrees,
                 cfg.data_prep.fov_aspect_ratio, cfg.data_prep.fov_near,
                 cfg.data_prep.fov_far)
-        result = process_frame(cloud, cfg, aug, logger=logger)
+        result = process_frame(cloud, cfg, aug, rng=rng, logger=logger)
         if result is None:
             logger.warning("frame %s produced no ground; skipped", name)
             continue
-        np.save(os.path.join(out_dir, "reduced_velo", f"{written:06d}.npy"),
+        idx = pos if index_base is not None else len(positions)
+        np.save(os.path.join(out_dir, "reduced_velo", f"{idx:06d}.npy"),
                 result.cloud)
-        np.save(os.path.join(out_dir, "gnd_labels", f"{written:06d}.npy"),
+        np.save(os.path.join(out_dir, "gnd_labels", f"{idx:06d}.npy"),
                 result.elevation)
-        written += 1
-    logger.info("%s: wrote %d frames", sequence_dir, written)
-    return written
+        positions.append(pos)
+    logger.info("%s [%d:+%d]: wrote %d frames", sequence_dir, start,
+                len(frames), len(positions))
+    return positions if index_base is not None else len(positions)
+
+
+def _worker_init_cpu():
+    """Data-prep pool workers stay off the accelerator: this is host-side
+    numpy/scipy work whose few jnp calls run fine on CPU, and N workers must
+    not contend for the (single) TPU — a site hook may pin jax to it at
+    import regardless of JAX_PLATFORMS, so override post-import."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
+def compact_positional_outputs(out_dir: str, positions) -> int:
+    """Rename position-named block outputs to the compact 0..n-1 numbering a
+    serial run would have produced (ascending-rank renames are collision-free
+    because rank <= position)."""
+    for k, pos in enumerate(sorted(positions)):
+        if k == pos:
+            continue
+        for sub in ("reduced_velo", "gnd_labels"):
+            os.replace(os.path.join(out_dir, sub, f"{pos:06d}.npy"),
+                       os.path.join(out_dir, sub, f"{k:06d}.npy"))
+    return len(positions)
 
 
 def generate_dataset(data_dir: str, out_dir: str, cfg: GndNetConfig,
-                     sequences=None, logger=logging.root) -> int:
-    """Block-parallel driver over sequences (reference splits work across a
-    ProcessPoolExecutor, semKitti_morph_data_camera.py:316-371)."""
+                     sequences=None, seed: int | None = 0,
+                     logger=logging.root) -> int:
+    """Block-parallel driver: every sequence's stepped frame list is split
+    into ~`frames_per_block` blocks scheduled across one ProcessPoolExecutor
+    (reference semKitti_morph_data_camera.py:316-371) so a single long
+    sequence no longer serializes on one worker.  Output numbering is
+    compacted per sequence to match a serial run exactly."""
     seq_root = os.path.join(data_dir, "sequences")
     sequences = sequences or sorted(os.listdir(seq_root))
-    jobs = [
-        (os.path.join(seq_root, s),
-         os.path.join(out_dir, "sequences", s), cfg,
-         cfg.data_prep.frame_step)
-        for s in sequences
-    ]
+    fpb = max(1, cfg.data_prep.frames_per_block)
+    step = max(1, cfg.data_prep.frame_step)
+
+    jobs = []   # (seq_out_dir, submit args)
+    for s in sequences:
+        sdir = os.path.join(seq_root, s)
+        odir = os.path.join(out_dir, "sequences", s)
+        try:
+            n_raw = len(os.listdir(os.path.join(sdir, "labels")))
+        except OSError:
+            logger.exception("cannot list %s; sequence skipped", sdir)
+            continue
+        n_stepped = -(-n_raw // step)
+        for j0 in range(0, max(n_stepped, 1), fpb):
+            # frames[j0*step::step][:fpb] == stepped[j0:j0+fpb]
+            jobs.append((odir, (sdir, odir, cfg, step, j0 * step, fpb, j0,
+                                seed)))
+
     total = 0
     workers = max(1, cfg.data_prep.num_workers)
+    per_seq: dict[str, list] = {}
     if workers == 1 or len(jobs) == 1:
-        for j in jobs:
-            total += generate_sequence(*j, logger=logger)
+        for odir, args in jobs:
+            per_seq.setdefault(odir, []).extend(
+                generate_sequence(*args, logger=logger))
     else:
-        with ProcessPoolExecutor(max_workers=workers) as ex:
-            futures = [ex.submit(generate_sequence, *j) for j in jobs]
+        # spawn, not the Linux fork default: the parent has usually imported
+        # jax (multithreaded) by now, and forked children DEADLOCK inside
+        # jax/XLA locks (observed: 2-worker pool hung on a 4-frame test).
+        with ProcessPoolExecutor(
+                max_workers=workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_worker_init_cpu) as ex:
+            futures = [(odir, ex.submit(generate_sequence, *args))
+                       for odir, args in jobs]
             failures = 0
-            for f in futures:
+            for odir, f in futures:
                 try:
-                    total += f.result()
+                    per_seq.setdefault(odir, []).extend(f.result())
                 except Exception:
                     failures += 1
                     logger.exception("sequence block failed")
             if failures:
                 logger.warning("%d sequence blocks failed", failures)
+    for odir, positions in per_seq.items():
+        total += compact_positional_outputs(odir, positions)
     return total

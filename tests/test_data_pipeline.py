@@ -15,6 +15,7 @@ from gndnet_tpu.data.augmentation import (
 )
 from gndnet_tpu.data.generator import (
     compute_ground_plane,
+    generate_dataset,
     generate_sequence,
     load_scan,
     parse_calibration,
@@ -236,6 +237,70 @@ def test_process_frame_and_sequence(rng, tmp_path):
     assert len(ds) == 2
     batches = list(iterate_batches(ds, 2, drop_last=True))
     assert batches[0][0].shape == (2, CFG.num_points, 4)
+
+
+def _write_fake_sequence(rng, seq_dir, n_frames):
+    (seq_dir / "velodyne").mkdir(parents=True)
+    (seq_dir / "labels").mkdir()
+    for i in range(n_frames):
+        c = sloped_scene(rng)
+        xyzr = np.concatenate(
+            [c[:, :3], np.zeros((len(c), 1), np.float32)], axis=1)
+        xyzr.astype(np.float32).tofile(seq_dir / "velodyne" / f"{i:06d}.bin")
+        c[:, 3].astype(np.uint32).tofile(seq_dir / "labels" / f"{i:06d}.label")
+
+
+@pytest.mark.slow
+def test_block_split_matches_serial(rng, tmp_path):
+    """frames_per_block work splitting (reference
+    semKitti_morph_data_camera.py:332-348): a 4-frame sequence processed as
+    two 2-frame blocks across a 2-worker pool produces files identical to
+    the serial single-block run (same numbering, same bytes)."""
+    _write_fake_sequence(rng, tmp_path / "sequences" / "00", 4)
+
+    # serial reference: one compact pass with the same per-frame seeds
+    serial_out = tmp_path / "serial" / "sequences" / "00"
+    n = generate_sequence(str(tmp_path / "sequences" / "00"),
+                          str(serial_out), CFG, seed=7)
+    assert n == 4
+
+    cfg = CFG.replace(data_prep=CFG.data_prep.__class__(
+        frame_step=1, frames_per_block=2, num_workers=2))
+    total = generate_dataset(str(tmp_path), str(tmp_path / "blocked"), cfg,
+                             seed=7)
+    assert total == 4
+    blocked_out = tmp_path / "blocked" / "sequences" / "00"
+    for sub in ("reduced_velo", "gnd_labels"):
+        got = sorted(os.listdir(blocked_out / sub))
+        want = sorted(os.listdir(serial_out / sub))
+        assert got == want == [f"{i:06d}.npy" for i in range(4)]
+        for f in want:
+            np.testing.assert_array_equal(
+                np.load(blocked_out / sub / f), np.load(serial_out / sub / f))
+
+
+def test_block_positional_numbering_with_skips(tmp_path, rng):
+    """Block mode writes positional names and the compactor renumbers the
+    union to the serial 0..n-1 even when a middle frame is skipped."""
+    from gndnet_tpu.data.generator import compact_positional_outputs
+
+    seq = tmp_path / "sequences" / "01"
+    _write_fake_sequence(rng, seq, 3)
+    # poison frame 1: all points far outside the grid -> no usable ground
+    bad = np.full((100, 4), 500.0, np.float32)
+    bad.astype(np.float32).tofile(seq / "velodyne" / "000001.bin")
+    np.full((100,), 40, np.uint32).tofile(seq / "labels" / "000001.label")
+
+    out = tmp_path / "out"
+    p0 = generate_sequence(str(seq), str(out), CFG, start=0, count=2,
+                           index_base=0, seed=3)
+    p1 = generate_sequence(str(seq), str(out), CFG, start=2, count=1,
+                           index_base=2, seed=3)
+    assert p0 == [0] and p1 == [2]   # frame 1 skipped -> gap at 1
+    n = compact_positional_outputs(str(out), p0 + p1)
+    assert n == 2
+    assert sorted(os.listdir(out / "reduced_velo")) == \
+        ["000000.npy", "000001.npy"]
 
 
 def test_parse_calibration_poses(tmp_path):
