@@ -47,13 +47,15 @@ def halo_exchange(x: jax.Array, axis_name: str, axis_size: int,
     return jnp.concatenate([from_prev, x, from_next], axis=1)
 
 
-def _conv3x3(x, kernel, bias, precision):
+def _conv3x3(x, kernel, bias, precision, dtype=jnp.float32):
+    # flax nn.Conv(dtype=...) semantics: inputs AND params cast to the
+    # compute dtype (bfloat16 on the serving/training fast path)
     y = jax.lax.conv_general_dilated(
-        x, kernel, window_strides=(1, 1),
+        x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
         padding=((0, 0), (1, 1)),        # H valid (halo provides context)
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         precision=jax.lax.Precision(precision))
-    return y + bias
+    return y + bias.astype(dtype)
 
 
 def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5, n_valid=None):
@@ -61,6 +63,7 @@ def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5, n_valid=None):
     over `sync_axes` (sync-BN).  `n_valid` overrides the local element count
     when padded rows were zeroed out of x (they contribute 0 to the sums, so
     only the divisor needs correcting).  Returns (y, new_stats)."""
+    x = x.astype(jnp.float32)   # flax BN dtype=float32: stats/affine in f32
     if not train:
         mean, var = s["mean"], s["var"]
         new = s
@@ -83,14 +86,15 @@ def _bn(x, p, s, train, sync_axes, momentum=0.9, eps=1e-5, n_valid=None):
 
 
 def _cbr(x, p, s, train, sync_axes, axis_name, axis_size, precision,
-         mask=None):
+         mask=None, dtype=jnp.float32):
     """halo -> conv3x3 -> BN -> relu (one ConvBNRelu block, sharded).
 
     `mask(x)` re-zeroes globally-out-of-range rows; it runs after the conv
     (so BN statistics never see pad-row bias values) and after the relu (so
     the next conv's halo sees the global SAME zero padding)."""
     xh = halo_exchange(x, axis_name, axis_size)
-    y = _conv3x3(xh, p["conv"]["kernel"], p["conv"]["bias"], precision)
+    y = _conv3x3(xh, p["conv"]["kernel"], p["conv"]["bias"], precision,
+                 dtype)
     n_valid = None
     if mask is not None:
         y, n_valid = mask(y)
@@ -104,7 +108,8 @@ def _cbr(x, p, s, train, sync_axes, axis_name, axis_size, precision,
 def segnet_apply_spatial(enc_params, enc_stats, slab, *, train: bool,
                          axis_name: str, axis_size: int,
                          sync_axes=(), precision: str = "highest",
-                         global_ny: int | None = None):
+                         global_ny: int | None = None,
+                         dtype=jnp.float32):
     """Spatially-sharded SegnetGndEst forward on an (B, Hl, W, C) slab.
 
     Bit-identical to models.segnet.SegnetGndEst over the full image when
@@ -144,7 +149,7 @@ def segnet_apply_spatial(enc_params, enc_stats, slab, *, train: bool,
         return mask
 
     kw = dict(train=train, sync_axes=sync_axes, axis_name=axis_name,
-              axis_size=axis_size, precision=precision)
+              axis_size=axis_size, precision=precision, dtype=dtype)
 
     def stage(x, name, mask):
         p, s = enc_params[name], enc_stats[name]
@@ -181,27 +186,44 @@ def segnet_apply_spatial(enc_params, enc_stats, slab, *, train: bool,
     x = stage(x, "up1", m0)
     xh = halo_exchange(x, axis_name, axis_size)
     pred = _conv3x3(xh, enc_params["regressor"]["kernel"],
-                    enc_params["regressor"]["bias"], precision)
+                    enc_params["regressor"]["bias"], precision, dtype)
     return pred[..., 0].astype(jnp.float32), new_stats
 
 
-def _fused_canvas(cfg: GndNetConfig, params, points):
+def _fused_canvas(cfg: GndNetConfig, params, points, train: bool = False):
     """Fused points -> canvas using the PFN linear params directly (the
     shard-local equivalent of GroundEstimatorNet.fused's front half;
-    use_norm must be False — asserted by callers)."""
+    use_norm must be False — asserted by callers).
+
+    Dispatches on cfg.fused_impl exactly like GroundEstimatorNet.fused:
+    'affine' runs the flagship sorted/Pallas frontend (ops.pillarize.
+    affine_canvas — per-dp-shard local sorts keep the strided cell space
+    linear in the local batch; the canvas build is replicated over sp as
+    before), so the fast path and the multichip scaling path are the SAME
+    code.  `train=True` routes affine through the custom-VJP kernel
+    (parameter grads only, matching the single-device train step)."""
     geom = pz.PillarGeometry.from_config(cfg)
     ctx = pz.bin_points_batch(points, geom)
     flat = points.reshape(-1, points.shape[-1])
+    lin = params["voxel_feature_extractor"]["pfn_0"]["linear"]
+    kernel = lin["kernel"]
+    bias = lin.get("bias", jnp.zeros(kernel.shape[1], flat.dtype))
+    if cfg.fused_impl == "affine":
+        dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                 else jnp.float32)
+        return pz.affine_canvas(
+            flat, ctx, geom, cfg.max_points_voxel, kernel, bias,
+            with_distance=cfg.with_distance,
+            exact_point_cap=cfg.exact_point_cap,
+            compute_dtype=dtype, precision=cfg.matmul_precision,
+            differentiable=train,
+            interpret=jax.default_backend() != "tpu")
     decorated, kept, cell_count = pz.fused_frontend(
         flat, ctx, geom, cfg.max_points_voxel,
         with_distance=cfg.with_distance,
         exact_point_cap=cfg.exact_point_cap)
-    lin = params["voxel_feature_extractor"]["pfn_0"]["linear"]
-    acts = jax.nn.relu(
-        decorated @ lin["kernel"]
-        + lin.get("bias", jnp.zeros(lin["kernel"].shape[1])))
-    pad_floor = jax.nn.relu(lin.get(
-        "bias", jnp.zeros(lin["kernel"].shape[1], decorated.dtype)))
+    acts = jax.nn.relu(decorated @ kernel + bias)
+    pad_floor = jax.nn.relu(bias.astype(decorated.dtype))
     return pz.canvas_from_activations(
         acts, ctx, kept, cell_count, geom, cfg.max_points_voxel,
         pad_floor=pad_floor)
@@ -237,10 +259,13 @@ def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
     dp = mesh.shape["dp"]
     hl = slab_height(cfg.ny, sp)
     total = loss_fn(cfg)
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
 
     def local_step(state: TrainState, points, labels):
         def compute(params):
-            canvas = _pad_canvas(_fused_canvas(cfg, params, points), hl, sp)
+            canvas = _pad_canvas(
+                _fused_canvas(cfg, params, points, train=True), hl, sp)
             y0 = jax.lax.axis_index("sp") * hl
             slab = jax.lax.dynamic_slice_in_dim(canvas, y0, hl, axis=1)
             pred_slab, new_stats = segnet_apply_spatial(
@@ -248,7 +273,7 @@ def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
                 state.batch_stats["encoder_decoder"], slab,
                 train=True, axis_name="sp", axis_size=sp,
                 sync_axes=("dp", "sp"), precision=cfg.matmul_precision,
-                global_ny=cfg.ny)
+                global_ny=cfg.ny, dtype=dtype)
             pred = jax.lax.all_gather(pred_slab, "sp", axis=1, tiled=True)
             pred = pred[:, :cfg.ny]
             return total(pred, labels), new_stats
@@ -286,6 +311,8 @@ def make_spatial_infer(cfg: GndNetConfig, mesh: Mesh,
     sp = mesh.shape["sp"]
     hl = slab_height(cfg.ny, sp)
     precision = precision or cfg.matmul_precision
+    dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+             else jnp.float32)
 
     def local(variables, points):
         params = variables["params"]
@@ -296,7 +323,7 @@ def make_spatial_infer(cfg: GndNetConfig, mesh: Mesh,
             params["encoder_decoder"],
             variables["batch_stats"]["encoder_decoder"], slab,
             train=False, axis_name="sp", axis_size=sp, precision=precision,
-            global_ny=cfg.ny)
+            global_ny=cfg.ny, dtype=dtype)
         return jax.lax.all_gather(pred_slab, "sp", axis=1,
                                   tiled=True)[:, :cfg.ny]
 

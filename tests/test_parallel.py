@@ -106,6 +106,7 @@ def test_spatial_infer_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmd_train_step_runs_and_learns():
     pts, labels = batch(np.random.default_rng(10))
     mesh = make_mesh(dp=2, sp=4)
@@ -183,6 +184,7 @@ def test_spatial_infer_padded_odd_ny_matches_unsharded(ny, sp):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_spmd_train_padded_odd_ny_matches_single_device():
     """dp=1 x sp=2 training on ny=10 (padded slabs, masked BN counts) must
     reproduce the single-device fused step's loss and parameter update.
@@ -227,6 +229,93 @@ def test_spmd_train_padded_odd_ny_matches_single_device():
                       jax.tree_util.tree_leaves(s2.batch_stats)):
         np.testing.assert_allclose(np.asarray(ba), np.asarray(bb),
                                    rtol=1e-4, atol=1e-6)
+
+
+AFFINE_CFG = CFG.replace(fused_impl="affine")
+
+
+def test_spatial_infer_affine_matches_unsharded():
+    """The flagship 'affine' Pallas frontend under the dp x sp mesh (VERDICT
+    r2 item 1): sharded inference must match the unsharded affine model —
+    the per-dp-shard local sorts and the sp-replicated canvas build are the
+    same code as the single-device fast path (interpret-mode kernel on
+    CPU)."""
+    pts, _ = batch(np.random.default_rng(21))
+    model, variables = init_model(AFFINE_CFG)
+    mesh = make_mesh(dp=2, sp=4)
+    out = make_spatial_infer(AFFINE_CFG, mesh)(
+        replicate(mesh, variables), shard_batch(mesh, pts))
+    ref = model.apply(variables, pts, train=False,
+                      method=GroundEstimatorNet.fused)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_spmd_train_affine_matches_single_device():
+    """dp=1 x sp=4 spatial training with the affine frontend (custom-VJP
+    kernel in interpret mode) reproduces the single-device affine train
+    step's loss and parameter update."""
+    pts, labels = batch(np.random.default_rng(22), b=2)
+    cfg = AFFINE_CFG.replace(batch_size=2, beta=0.0)
+    model, tx, state0 = create_train_state(cfg, steps_per_epoch=10)
+    single = make_train_step(model, tx, cfg)
+    s1, l1 = single(jax.tree_util.tree_map(jnp.copy, state0), pts, labels)
+
+    mesh = make_mesh(dp=1, sp=4)
+    step = make_spmd_train_step(model, tx, cfg, mesh)
+    s2, l2 = step(replicate(mesh, jax.tree_util.tree_map(jnp.copy, state0)),
+                  *shard_batch(mesh, (pts, labels)))
+    assert float(l2) == pytest.approx(float(l1), rel=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_spmd_train_affine_learns_dp_sp():
+    """Full dp=2 x sp=4 affine training step runs and reduces the loss."""
+    pts, labels = batch(np.random.default_rng(23))
+    mesh = make_mesh(dp=2, sp=4)
+    model, tx, state = create_train_state(AFFINE_CFG, steps_per_epoch=10)
+    step = make_spmd_train_step(model, tx, AFFINE_CFG, mesh)
+    state = replicate(mesh, state)
+    pts_s, labels_s = shard_batch(mesh, (pts, labels))
+    losses = []
+    for _ in range(12):
+        state, loss = step(state, pts_s, labels_s)
+        losses.append(float(loss))
+    assert losses[-1] < 0.6 * losses[0], losses
+
+
+def test_tp_sharded_forward_matches_replicated():
+    """The SURVEY §2.3 tensor-parallel sharding rule (parallel/tp.py):
+    output-channel-sharded variables run through the unmodified fused
+    forward under GSPMD and reproduce the replicated result; the rule must
+    actually shard the conv/dense channel axes (not degenerate to
+    replicate-everything)."""
+    from gndnet_tpu.parallel.tp import (
+        make_tp_mesh, tp_shard_variables, tp_variable_specs)
+
+    pts, _ = batch(np.random.default_rng(31))
+    model, variables = init_model(CFG)
+    ref = model.apply(variables, pts, train=False,
+                      method=GroundEstimatorNet.fused)
+
+    mesh = make_tp_mesh(tp=8)
+    specs = tp_variable_specs(variables, mesh)
+    n_sharded = sum(
+        1 for s in jax.tree_util.tree_leaves(
+            specs, is_leaf=lambda x: hasattr(x, "spec"))
+        if any(a is not None for a in s.spec))
+    assert n_sharded >= 10, f"rule sharded only {n_sharded} leaves"
+
+    v_tp = tp_shard_variables(variables, mesh)
+    out = jax.jit(lambda v, p: model.apply(
+        v, p, train=False, method=GroundEstimatorNet.fused))(v_tp, pts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_slab_height():
