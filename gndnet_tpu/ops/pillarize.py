@@ -631,6 +631,13 @@ def affine_canvas(
     by float re-association (tested to tolerance), and the final max/relu/
     +w composition is exact by monotonicity.
 
+    Gradient contract (use_pallas=True, the default on TPU): the custom VJP
+    delivers cotangents for the PFN PARAMETERS (kernel/bias) only; the
+    cotangents w.r.t. `points` are defined as ZERO, matching the reference,
+    which never backprops into the cloud.  A caller that needs point
+    gradients (input-sensitivity analysis) must pass use_pallas=False to
+    get XLA autodiff through the scan path instead of silent zeros.
+
     Returns (B, ny, nx, C) canvas in compute_dtype.
     """
     if geom.nz != 1:

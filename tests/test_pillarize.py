@@ -299,6 +299,7 @@ def test_sorted_impl_through_model(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_affine_canvas_matches_scatter_frontend(rng):
     """fused_impl='affine' (sort + segmented scans + affine PFN split) must
     agree with the scatter frontend to float-reassociation tolerance, for
@@ -336,6 +337,7 @@ def test_affine_canvas_matches_scatter_frontend(rng):
                                        rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_affine_canvas_bf16_intkey_path(rng):
     """bf16 compute triggers the int-key cummax segmax; it must equal the
     associative-scan segmax bit for bit (both are exact maxima of the same
@@ -357,6 +359,7 @@ def test_affine_canvas_bf16_intkey_path(rng):
                                   np.asarray(intkey, np.float32))
 
 
+@pytest.mark.slow
 def test_affine_impl_through_model(rng):
     """GroundEstimatorNet with fused_impl='affine' == 'scatter' end to end,
     forward and gradients."""
@@ -378,8 +381,9 @@ def test_affine_impl_through_model(rng):
     np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_a),
                                rtol=1e-4, atol=1e-5)
 
-    # gradients flow through the train path (train=True selects the
-    # differentiable XLA segmented scans; the pallas pass is forward-only)
+    # gradients flow through the train path: on CPU, train=True runs the
+    # pallas kernel in interpret mode through the custom VJP (params-only
+    # grads), pinned here against the scatter impl's XLA autodiff
     def loss(m, v):
         pred, _ = m.apply(v, jnp.asarray(pts), train=True,
                           mutable=["batch_stats"],
@@ -618,6 +622,7 @@ def test_affine_scan_t_in_kernel_rank_and_carries(rng):
                 amax[row], a_np[kept].max(0), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_affine_canvas_batched_matches_per_scan(rng):
     """A batch through affine_canvas must equal each scan run alone (the
     per-item strided cell space keeps items fully independent), on both the
