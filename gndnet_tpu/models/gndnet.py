@@ -87,15 +87,31 @@ class GroundEstimatorNet(nn.Module):
         cfg = self.cfg
         if len(cfg.vfe_filters) != 1:
             raise ValueError("fused path requires a single PFN layer")
-        if cfg.use_norm and train:
-            raise ValueError(
-                "fused path supports use_norm only in eval mode "
-                "(running-stat BN folds into the linear layer)"
-            )
         geom = self.geom
         ctx = pz.bin_points_batch(points, geom)
         flat_points = points.reshape(-1, points.shape[-1])
         layer = self.pfn.layers[0]
+        if cfg.use_norm and train:
+            # Flat-stream batch BN: the padded pillar tensor's statistics
+            # are derived from the flat z stream (pad rows are zeros through
+            # the bias-free linear; the divisor is the static pillar-tensor
+            # row count) — see PFNLayer.activate_flat_bn_train.  Uses the
+            # scatter frontend: the affine decomposition's single-affine
+            # contract doesn't hold until the batch stats (which depend on
+            # the kernel) are computed, so affine/sorted impls route here
+            # too for use_norm training.
+            decorated, kept, cell_count = pz.fused_frontend(
+                flat_points, ctx, geom, cfg.max_points_voxel,
+                with_distance=cfg.with_distance,
+                exact_point_cap=cfg.exact_point_cap)
+            total_rows = points.shape[0] * cfg.max_voxels * cfg.max_points_voxel
+            acts, pad_floor = layer.activate_flat_bn_train(
+                decorated, total_rows)
+            canvas = pz.canvas_from_activations(
+                acts, ctx, kept, cell_count, geom, cfg.max_points_voxel,
+                pad_floor=pad_floor)
+            pred = self.encoder_decoder(canvas, train=train)
+            return jnp.squeeze(pred, axis=-1)
         if cfg.fused_impl == "affine":
             # round-2 fast path: sort + segmented scans, no duplicate-index
             # scatter, PFN linear split into per-point matmul + per-cell

@@ -58,6 +58,55 @@ class PFNLayer(nn.Module):
             x = self.norm(x, use_running_average=not train)
         return nn.relu(x)
 
+    def activate_flat_bn_train(self, decorated_flat, total_rows: int):
+        """Train-mode use_norm activation on the flat kept-masked point
+        stream, WITHOUT materializing the (M, P, F) pillar tensor.
+
+        The padded pillar tensor's BatchNorm statistics are analytically
+        available from the flat stream: padding rows (and empty pillar
+        slots) are zeros pre-linear and the use_norm linear has NO bias
+        (reference modules/pointpillars.py:33), so every pad row maps to
+        z = 0 — it contributes nothing to the per-channel sums and only
+        inflates the divisor, which is the STATIC b*max_voxels*max_points
+        row count of the pillar tensor (`total_rows`).  Dropped points
+        (rank >= cap) arrive here as zeroed rows too (decorate_points), so
+        one unmasked sum/sum-of-squares over the flat z stream reproduces
+        the pillar path's batch statistics exactly (up to float
+        re-association).
+
+        Sync-BN: with `bn_axis` set the per-device sums are pmean'd first
+        (row counts are equal across devices, so the mean of per-device
+        means IS the global mean).  Running-stat updates then go through
+        the regular flax BatchNorm on a 2-row surrogate
+        [mean + sqrt(var), mean - sqrt(var)] whose batch statistics equal
+        the derived ones exactly — flax's own momentum/dtype semantics
+        apply unchanged, and the surrogate is identical on every device so
+        flax's axis_name reduction is a no-op on already-global stats.
+
+        Returns (acts (N, C) relu'd normalized activations, pad_floor (C,)
+        — the value every padding row contributes to its pillar max).
+        """
+        z = self.linear(decorated_flat)                      # (N, C)
+        zf = z.astype(jnp.float32)
+        s = jnp.sum(zf, axis=0)
+        q = jnp.sum(jnp.square(zf), axis=0)
+        if self.bn_axis is not None:
+            s = jax.lax.pmean(s, self.bn_axis)
+            q = jax.lax.pmean(q, self.bn_axis)
+        mean = s / total_rows
+        var = jnp.maximum(q / total_rows - jnp.square(mean), 0.0)
+        # running-stat update only; stop_gradient guards against the
+        # d sqrt(0) = inf x zero-cotangent = NaN trap on dead channels
+        sdev = jnp.sqrt(var)
+        self.norm(jax.lax.stop_gradient(jnp.stack([mean + sdev, mean - sdev])),
+                  use_running_average=False)
+        p = self.norm.variables["params"]
+        inv = p["scale"] / jnp.sqrt(var + 1e-3)
+        shift = p["bias"] - mean * inv
+        acts = nn.relu(zf * inv + shift).astype(z.dtype)
+        pad_floor = nn.relu(shift).astype(z.dtype)
+        return acts, pad_floor
+
     def effective_affine(self):
         """Eval-mode (kernel, bias) of Linear(+folded running-stat BN).
 

@@ -94,9 +94,12 @@ def make_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
                     augment: bool = False) -> Callable:
     """Build the jitted fused train step: (state, points, labels) -> (state, loss).
 
-    `use_pillar_path=True` routes through the materialized-pillar forward
-    (needed for use_norm training, where BatchNorm statistics must see the
-    padded pillar tensor exactly like the reference).
+    `use_pillar_path=True` routes through the materialized-pillar forward —
+    the parity anchor against the PyTorch reference.  use_norm training no
+    longer requires it: the fused path derives the padded pillar tensor's
+    BatchNorm statistics from the flat stream
+    (models/pfn.py:activate_flat_bn_train), pinned equal to this path by
+    test_use_norm_fused_train_matches_pillar_path.
 
     `augment=True` applies on-device augmentation (random rotation + height
     with exact label co-transformation, data/augmentation.device_augment)
@@ -189,9 +192,18 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
                        print_freq: int = 100,
                        seed: int = 0,
                        train_skip: int = 6, valid_skip: int = 3,
+                       augment: bool = False,
                        logger=None) -> dict:
     """Full training orchestration (reference training.py main loop:
     train -> validate -> scheduler step -> checkpoint-if-best, :284-305).
+
+    `augment=True` enables on-device augmentation inside the jitted train
+    step (data/augmentation.device_augment) — the TPU-native replacement for
+    the reference's pre-augmented dataset generation
+    (dataset_augmentation.py:49-70).  The augmentation RNG is
+    fold_in(PRNGKey(0), state.step): a fresh draw every optimizer step,
+    deterministic across resumes since the step counter is checkpointed.
+    Validation always runs unaugmented.
 
     Returns {'train_loss': [...], 'valid_loss': [...], 'lowest_loss': float}.
     """
@@ -217,11 +229,13 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
             f"{cfg.batch_size} (drop_last would yield zero batches); lower "
             f"batch_size or train_skip")
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
-    # use_norm training must see padded pillar tensors for BN parity.
-    use_pillar_path = bool(cfg.use_norm)
+    # use_norm training runs on the fused path too: the padded pillar
+    # tensor's BN statistics are derived analytically from the flat stream
+    # (PFNLayer.activate_flat_bn_train; parity vs the pillar path is pinned
+    # by test_use_norm_fused_train_matches_pillar_path).
     model, tx, state = create_train_state(cfg, steps_per_epoch, seed)
-    train_step = make_train_step(model, tx, cfg, use_pillar_path)
-    eval_step = make_eval_step(model, cfg, use_pillar_path)
+    train_step = make_train_step(model, tx, cfg, augment=augment)
+    eval_step = make_eval_step(model, cfg)
 
     mgr = CheckpointManager(os.path.join(workdir, "checkpoints")) \
         if save_checkpoints else None

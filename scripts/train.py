@@ -45,6 +45,13 @@ def main():
                    help="bfloat16 conv compute (serving precision) for "
                         "training; pair with --impl affine for the fastest "
                         "step (394 scans/s vs 98 at f32 scatter on a v5e)")
+    p.add_argument("--augment", action="store_true",
+                   help="on-device augmentation inside the jitted train step "
+                        "(random rotation + height with exact label "
+                        "co-transform; RNG = fold_in(key, step), so resumes "
+                        "are deterministic).  Replaces the reference's "
+                        "pre-augmented dataset generation "
+                        "(dataset_augmentation.py:49-70)")
     args = p.parse_args()
 
     from gndnet_tpu.config import load_config
@@ -76,7 +83,7 @@ def main():
         cfg, workdir=args.workdir, epochs=args.epochs, resume=args.resume,
         save_checkpoints=args.save_checkpoints, print_freq=args.print_freq,
         seed=args.seed, train_skip=args.train_skip,
-        valid_skip=args.valid_skip, logger=logger)
+        valid_skip=args.valid_skip, augment=args.augment, logger=logger)
     logger.info("done: lowest validation loss %.6f", hist["lowest_loss"])
 
 

@@ -152,6 +152,7 @@ def _synthetic_batch(rng, cfg, b=2, n=600):
     return jnp.asarray(pts), jnp.asarray(labels)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("use_pillar", [False])
 def test_training_reduces_loss(rng, use_pillar):
     cfg = CFG
@@ -177,6 +178,7 @@ def test_eval_step_deterministic(rng):
     assert a == b
 
 
+@pytest.mark.slow
 def test_use_norm_training_pillar_path(rng):
     cfg = CFG.replace(use_norm=True)
     model, tx, state = create_train_state(cfg, steps_per_epoch=10)
@@ -191,6 +193,34 @@ def test_use_norm_training_pillar_path(rng):
     assert not np.allclose(before, after)
 
 
+def test_use_norm_fused_train_matches_pillar_path(rng):
+    """Flat-stream BN statistics: the fused use_norm train step (no
+    (M, P, F) pillar tensor — models/pfn.py:activate_flat_bn_train derives
+    the padded tensor's batch statistics from the flat z stream) reproduces
+    the pillar path's loss, parameter update, and BN running stats."""
+    cfg = CFG.replace(use_norm=True)
+    pts, labels = _synthetic_batch(rng, cfg)
+    model, tx, s0 = create_train_state(cfg, steps_per_epoch=10)
+    copy = lambda s: jax.tree_util.tree_map(jnp.copy, s)
+    sp, lp = make_train_step(model, tx, cfg, use_pillar_path=True)(
+        copy(s0), pts, labels)
+    sf, lf = make_train_step(model, tx, cfg)(copy(s0), pts, labels)
+    assert float(lf) == pytest.approx(float(lp), rel=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(sp.params),
+                      jax.tree_util.tree_leaves(sf.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-3, atol=1e-5)
+    bn_p = sp.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]
+    bn_f = sf.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]
+    np.testing.assert_allclose(np.asarray(bn_f["mean"]),
+                               np.asarray(bn_p["mean"]),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bn_f["var"]),
+                               np.asarray(bn_p["var"]),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.slow
 def test_augmented_train_step_runs_and_learns(rng):
     """On-device augmentation inside the jitted step (driver config #5:
     augmentation + end-to-end TPU training)."""
@@ -213,6 +243,7 @@ def test_augmented_train_step_runs_and_learns(rng):
     assert min(losses_seen[-5:]) < 0.7 * losses_seen[0], losses_seen[:3] + losses_seen[-3:]
 
 
+@pytest.mark.slow
 def test_loss_scaled_training(rng):
     """Dynamic loss scaling (torchplus optim.py capability parity): training
     still converges and the scale adapts without corrupting parameters."""
@@ -245,6 +276,7 @@ def test_grad_clipping_option(rng):
     assert norm == pytest.approx(0.01, rel=1e-4)
 
 
+@pytest.mark.slow
 def test_train_and_evaluate_integration(rng, tmp_path):
     """Full orchestration on a tiny synthetic dataset inside the suite:
     train -> validate -> checkpoint -> resume -> fixture-RMSE evaluation."""
@@ -281,3 +313,37 @@ def test_train_and_evaluate_integration(rng, tmp_path):
     res = evaluate_height_rmse(cfg, variables, str(tmp_path), "validation")
     assert res["frames"] == 2
     assert 0 < res["rmse"] < 1.0
+
+
+@pytest.mark.slow
+def test_train_and_evaluate_with_augmentation(rng, tmp_path):
+    """--augment wiring: the orchestration loop trains with on-device
+    augmentation inside the jitted step and still converges on the
+    (augment-invariant up to rotation/height co-transform) plane."""
+    from gndnet_tpu.config import AugmentationConfig
+    from gndnet_tpu.train import train_and_evaluate
+
+    # mild transforms: each step draws a fresh rotation/height, so per-step
+    # losses are high-variance — +-30 deg / 0.5 m needed 50+ epochs to
+    # separate signal from augmentation noise on the tiny fixture
+    cfg = CFG.replace(
+        num_points=600, max_memory=100.0,
+        augmentation=AugmentationConfig(
+            num_rotations=1, max_front_slope=2, max_side_tilt=2,
+            max_rotation=10, max_height=0.15))
+    d = tmp_path / "training" / "seq_000"
+    (d / "reduced_velo").mkdir(parents=True)
+    (d / "gnd_labels").mkdir()
+    for i in range(4):
+        pts, labels = _synthetic_batch(rng, cfg, b=1)
+        np.save(d / "reduced_velo" / f"{i:06d}.npy", np.asarray(pts[0]))
+        np.save(d / "gnd_labels" / f"{i:06d}.npy",
+                np.asarray(labels[0], np.float64))
+    cfg = cfg.replace(data_dir=str(tmp_path))
+    hist = train_and_evaluate(cfg, workdir=str(tmp_path / "run"), epochs=12,
+                              save_checkpoints=False, train_skip=1,
+                              valid_skip=1, augment=True, print_freq=10)
+    assert np.isfinite(hist["train_loss"]).all()
+    # per-epoch losses see different augmentations: compare best-of-tail
+    assert min(hist["train_loss"][-3:]) < 0.8 * hist["train_loss"][0], \
+        hist["train_loss"]
