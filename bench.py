@@ -224,6 +224,100 @@ def bench_train(cfg, iters: int, batch: int = 16) -> float:
     return reps * batch / best
 
 
+def load_fixture_frames(cfg, n_frames: int = 5, num_points: int | None = None,
+                        seed: int = 0):
+    """The reference repo's 5-frame real-KITTI fixture
+    (reference data/training/seq_000: 100k-pt reduced clouds + 100x100
+    elevation grids).  `num_points` subsamples each cloud (CPU-test sizing);
+    returns (clouds (n,N,F) f32, labels (n,100,100) f32) or None if the
+    fixture is unavailable."""
+    import os
+
+    root = "/root/reference/data/training/seq_000"
+    if not os.path.isdir(root):
+        return None
+    rng = np.random.default_rng(seed)
+    clouds, labels = [], []
+    for i in range(n_frames):
+        c = np.load(f"{root}/reduced_velo/{i:06d}.npy").astype(np.float32)
+        if num_points is not None and num_points < len(c):
+            c = c[rng.choice(len(c), num_points, replace=False)]
+        clouds.append(c[:, : cfg.input_features])
+        labels.append(np.load(f"{root}/gnd_labels/{i:06d}.npy")
+                      .astype(np.float32))
+    return np.stack(clouds), np.stack(labels)
+
+
+def bench_accuracy(cfg, epochs: int = 150, holdout: int = 4, seed: int = 0,
+                   frames=None) -> dict:
+    """Fixture accuracy gate (train quality regression check).
+
+    Trains the SERVING configuration (affine bf16 frontend + custom-VJP
+    pallas kernel by default — exactly what bench_train measures) on the
+    reference repo's real-KITTI fixture minus one holdout frame, then
+    reports holdout height-RMSE before/after.  Gate: RMSE_after <= 0.14 m
+    (round-1 baseline: 0.188 untrained -> 0.133 trained at f32/scatter;
+    label std 0.256 m).  Every perf rework touches the training numerics —
+    558 scans/s is meaningless if the model quietly stops learning, so this
+    is the standing driver-visible regression the reference de-facto gets
+    from evaluate_SemanticKITTI.py:199-235 with trained weights.
+
+    Deterministic: seeded init, fixed frame order, one full-batch step per
+    epoch (4 frames = reference batch_size 4, config_kittiSem.yaml).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gndnet_tpu import train as tr
+    from gndnet_tpu.models.gndnet import GroundEstimatorNet
+
+    if frames is None:
+        frames = load_fixture_frames(cfg)
+    if frames is None:
+        raise FileNotFoundError(
+            "reference fixture dataset not available "
+            "(/root/reference/data/training/seq_000)")
+    clouds, labels = frames
+    tr_idx = [i for i in range(len(clouds)) if i != holdout]
+    pts = jax.device_put(jnp.asarray(clouds[tr_idx]))
+    lbl = jax.device_put(jnp.asarray(labels[tr_idx]))
+    ho_pts = jax.device_put(jnp.asarray(clouds[holdout:holdout + 1]))
+    ho_lbl = jax.device_put(jnp.asarray(labels[holdout:holdout + 1]))
+
+    model, tx, state = tr.create_train_state(cfg, steps_per_epoch=1,
+                                             seed=seed)
+    step = tr.make_train_step(model, tx, cfg)
+
+    @jax.jit
+    def rmse(variables):
+        pred = model.apply(variables, ho_pts, train=False,
+                           method=GroundEstimatorNet.fused)
+        return jnp.sqrt(jnp.mean((pred - ho_lbl) ** 2))
+
+    def var(s):
+        return {"params": s.params, "batch_stats": s.batch_stats}
+
+    @jax.jit
+    def train_all(state):
+        def body(s, _):
+            s2, loss = step(s, pts, lbl)
+            return s2, loss
+        return jax.lax.scan(body, state, None, length=epochs)
+
+    before = float(rmse(var(state)))
+    t0 = time.perf_counter()
+    state, losses = train_all(state)
+    after = float(rmse(var(state)))
+    dt = time.perf_counter() - t0
+    losses = np.asarray(losses, np.float32)
+    assert np.isfinite(losses).all(), "non-finite training loss"
+    return {"rmse_before": before, "rmse_after": after,
+            "first_loss": float(losses[0]),
+            "final_loss": float(losses[-1]), "epochs": epochs,
+            "train_seconds": round(dt, 1), "gate_m": 0.14,
+            "passed": bool(after <= 0.14)}
+
+
 def bench_stream(cfg, variables, iters: int, int16: bool = False) -> dict:
     """Sustained streaming replay (BASELINE.md driver config #4).
 
@@ -243,12 +337,36 @@ def bench_stream(cfg, variables, iters: int, int16: bool = False) -> dict:
     return rep.as_dict()
 
 
+def bench_replay(cfg, variables, n_ticks: int, target_hz: float = 55.0,
+                 int16: bool = False) -> dict:
+    """Driver config #4 demonstrated without the tunnel: device-resident
+    scan feed, host submit clock + host result fetch (serving/replay.py:
+    replay_device).  Runs BOTH the paced (target_hz) and the unbounded
+    (free-wheel) submit rates."""
+    from gndnet_tpu.infer import GroundInferenceEngine
+    from gndnet_tpu.serving.replay import replay_device
+
+    engine = GroundInferenceEngine(
+        cfg, variables, threshold=0.16, shift_cloud=True,
+        transfer_dtype="int16" if int16 else "float32")
+    scan = load_scan(cfg)
+    paced = replay_device(engine, scan, target_hz=target_hz, n_ticks=n_ticks)
+    free = replay_device(engine, scan, target_hz=0.0, n_ticks=n_ticks)
+    return {"paced": paced.as_dict(), "freewheel": free.as_dict(),
+            "target_hz": target_hz}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", default="device",
                     choices=["device", "e2e", "single", "batched", "train",
-                             "stream"])
+                             "stream", "accuracy", "replay"])
+    ap.add_argument("--target_hz", type=float, default=55.0,
+                    help="replay mode: paced sensor submit rate")
     ap.add_argument("--iters", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=150,
+                    help="accuracy mode: full-batch epochs on the 4-frame "
+                         "fixture train split")
     ap.add_argument("--f32", action="store_true",
                     help="parity precision instead of serving bf16")
     ap.add_argument("--int16", action="store_true",
@@ -281,6 +399,18 @@ def main():
 
     baseline_hz = 55.0  # reference README.md:15
     extra = {}
+    if args.mode == "accuracy":
+        # training-quality gate, not a rate: lower is better, gate 0.14 m
+        res = bench_accuracy(cfg, epochs=args.epochs)
+        print(json.dumps({
+            "metric": "holdout height RMSE (m)",
+            "value": round(res["rmse_after"], 4),
+            "unit": "m",
+            "vs_baseline": round(res["rmse_after"] / res["gate_m"], 3),
+            "mode": args.mode, "config": args.config,
+            "impl": cfg.fused_impl, **res,
+        }))
+        return 0 if res["passed"] else 1
     if args.mode == "device":
         hz = bench_device(cfg, variables, args.iters)
         extra["note"] = ("device-resident scan ring; host I/O excluded "
@@ -288,6 +418,15 @@ def main():
                          "--mode e2e measures the full loop)")
     elif args.mode in ("e2e", "single"):
         hz = bench_e2e(cfg, variables, args.iters, int16=args.int16)
+    elif args.mode == "replay":
+        rep = bench_replay(cfg, variables, max(args.iters, 256),
+                           target_hz=args.target_hz, int16=args.int16)
+        hz = rep["paced"]["sustained_hz"]
+        extra["paced"] = rep["paced"]
+        extra["freewheel"] = rep["freewheel"]
+        extra["note"] = (f"device-resident scan feed, host submit clock at "
+                         f"{args.target_hz} Hz + host result fetch; "
+                         f"freewheel = unbounded submit rate")
     elif args.mode == "batched":
         hz = bench_batched(cfg, variables, args.iters)
     elif args.mode == "train":

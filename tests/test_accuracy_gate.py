@@ -1,0 +1,52 @@
+"""Accuracy-gate plumbing (bench.py --mode accuracy).
+
+The full gate — 150 full-batch epochs on the real 100k-point fixture with
+the serving config, holdout height-RMSE <= 0.14 m — runs on the TPU via
+`python bench.py --mode accuracy` (~30 s on a v5e; the reference's de-facto
+equivalent is evaluate_SemanticKITTI.py:199-235 with trained weights).
+Here the same code path runs CPU-sized (subsampled clouds, few epochs) and
+asserts the training loss decreases (the holdout RMSE's *direction* is not
+monotone in the first few epochs — measured 0.182 -> 0.187 after 4 tiny
+epochs on the v5e before dropping toward the 0.13x trained level), so the
+gate's training loop, holdout split, and metric wiring stay covered by the
+suite.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+import bench  # noqa: E402
+
+from gndnet_tpu.config import kitti_sem_config  # noqa: E402
+
+
+@pytest.mark.slow
+def test_accuracy_gate_smoke(reference_fixture_dir):
+    # CPU sizing: scatter f32 (this host XLA has no BF16xBF16 DotThunk; the
+    # interpret-mode pallas train step takes ~35 min here), subsampled
+    # clouds, and the fixture grid downsampled 2x (2 m voxels, 50x50 —
+    # SegNet fwd+bwd at the full 100x100 kitti_sem geometry costs ~minutes
+    # PER STEP on the 1-core host).  The TPU gate (bench.py --mode
+    # accuracy) runs the real serving configuration (affine bf16 +
+    # custom-VJP kernel) at full geometry — measured 0.188 -> 0.136 m,
+    # gate 0.14, PASSED (docs/STATUS.md r3).  This smoke covers the gate's
+    # loop/holdout/metric plumbing.
+    cfg = kitti_sem_config().replace(
+        fused_impl="scatter", compute_dtype="float32",
+        matmul_precision="default", num_points=2048, batch_size=4,
+        voxel_size=(2.0, 2.0, 8.0))
+    frames = bench.load_fixture_frames(cfg, num_points=2048)
+    assert frames is not None
+    clouds, labels = frames
+    labels_2x = labels.reshape(5, 50, 2, 50, 2).mean(axis=(2, 4))
+    res = bench.bench_accuracy(cfg, epochs=5, frames=(clouds, labels_2x))
+    assert np.isfinite(res["final_loss"])
+    assert res["final_loss"] < res["first_loss"], res
+    # the real gate value is asserted on TPU (bench.py --mode accuracy
+    # exits non-zero when rmse_after > 0.14 m); at 4k points / 12 epochs
+    # only "it trains" is meaningful on the holdout
+    assert 0 < res["rmse_after"] < 1.0 and 0 < res["rmse_before"] < 1.0
