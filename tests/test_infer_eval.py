@@ -57,6 +57,7 @@ def test_engine_infer_shapes_and_padding(rng):
     assert elev2.shape == (CFG.ny, CFG.nx)
 
 
+@pytest.mark.slow
 def test_engine_all_presets_smoke(rng):
     """Every shipped preset must run scan -> (elevation, labels) end-to-end
     through the serving engine (catches config-shape assumptions like a
