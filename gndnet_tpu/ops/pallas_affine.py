@@ -168,7 +168,8 @@ def affine_segment_scan(cell_sorted: jax.Array, pts8: jax.Array,
 
 def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
               carry_scalars, carry_tot, carry_max, *,
-              chunk: int, rounds: int, rank_cap: int | None, out_dtype):
+              chunk: int, rounds: int, rank_cap: int | None, out_dtype,
+              unroll: bool = True):
     """Transposed-layout kernel body: stream position lives in LANES.
 
     cell_ref (1, chunk) i32, pts_ref (A, chunk) f32 augmented features
@@ -198,11 +199,18 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
         # back to the carried start of the run live at the previous chunk's
         # end (same >=cap argument when stale).
         cand = jnp.where(cells != prev_cell, pos, -1)
-        for k in range(rounds):
-            s = 1 << k
-            cand = jnp.where(lane >= s,
-                             jnp.maximum(cand, pltpu.roll(cand, shift=s,
-                                                          axis=1)), cand)
+
+        def cand_round(k, c):
+            s = jnp.int32(1) << k if not unroll else 1 << k
+            return jnp.where(
+                lane >= s,
+                jnp.maximum(c, pltpu.roll(c, shift=s, axis=1)), c)
+
+        if unroll:
+            for k in range(rounds):
+                cand = cand_round(k, cand)
+        else:
+            cand = jax.lax.fori_loop(0, rounds, cand_round, cand)
         carry_start = jnp.where(i > 0, carry_scalars[1], 0)
         start = jnp.where(cand >= 0, cand, carry_start)
         keptf = validf * ((pos - start) < rank_cap).astype(jnp.float32)
@@ -225,14 +233,27 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
     am = jnp.where(keptf > 0, a, neg)
 
     # segmented inclusive prefix scans along lanes, one shared roll+predicate
-    # per round; (1, chunk) cell ops cost 1/64th of the (C, chunk) data ops
-    for k in range(rounds):
-        s = 1 << k
+    # per round; (1, chunk) cell ops cost 1/64th of the (C, chunk) data ops.
+    # unroll=True emits `rounds` static rolls (fastest; measured round-2);
+    # unroll=False runs them as a fori_loop with a dynamic rotate — every
+    # scanned tensor is 32-bit inside the rounds (Mosaic's dynamic_rotate
+    # constraint) and the loop caps the unrolled live ranges that send the
+    # f32 Mosaic compile into double-digit minutes (docs/STATUS.md r2).
+    def scan_round(k, carry):
+        g, am = carry
+        s = jnp.int32(1) << k if not unroll else 1 << k
         pc = pltpu.roll(cells, shift=s, axis=1)
         ok = (lane >= s) & (pc == cells)
         g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
         am = jnp.where(ok, jnp.maximum(am, pltpu.roll(am, shift=s, axis=1)),
                        am)
+        return g, am
+
+    if unroll:
+        for k in range(rounds):
+            g, am = scan_round(k, (g, am))
+    else:
+        g, am = jax.lax.fori_loop(0, rounds, scan_round, (g, am))
 
     g = jnp.where(in_first, g + jnp.max(carry_tot[...], axis=1,
                                         keepdims=True), g)
@@ -258,6 +279,7 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
                   valid: jax.Array, mmat_t: jax.Array, *,
                   max_points: int | None = None,
                   out_dtype=jnp.float32, chunk: int = 1024,
+                  unroll_rounds: bool | None = None,
                   interpret: bool = False):
     """Transposed, rank-fusing successor of `affine_segment_scan`.
 
@@ -279,6 +301,12 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
       mmat_t: (C, A) transposed per-point weight matrix (every row of
         pts_t is a real feature; there is no in-band valid column).
       max_points: exact per-cell point cap (None = keep every valid point).
+      unroll_rounds: True statically unrolls the combine rounds (fastest;
+        the bf16 default), False runs them as an in-kernel fori_loop with
+        dynamic rotates — same math, bounded live ranges, which keeps the
+        f32 Mosaic compile in normal time instead of 5-11 minutes
+        (docs/STATUS.md round-2 known issue).  None picks by out_dtype
+        (unroll for <= 16-bit outputs, fori_loop for f32).
 
     Returns (run_tot (4, N) f32 rows [sum x, sum y, sum z, kept count],
     run_max (C, N) out_dtype) in TRANSPOSED layout; gather columns at
@@ -295,10 +323,12 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
     num_chunks = n // chunk
     window = chunk if max_points is None else min(chunk, max_points)
     rounds = max(1, (window - 1).bit_length())
+    if unroll_rounds is None:
+        unroll_rounds = jnp.dtype(out_dtype).itemsize <= 2
 
     kernel = functools.partial(
         _kernel_t, chunk=chunk, rounds=rounds,
-        rank_cap=max_points, out_dtype=out_dtype)
+        rank_cap=max_points, out_dtype=out_dtype, unroll=unroll_rounds)
 
     def idx(i):
         return (0, i)
@@ -423,11 +453,18 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
 
     Cotangents for points (and for the sums/count output) are defined as
     ZERO: training differentiates parameters, not point coordinates
-    (matches the reference, which never backprops into the cloud).  On
-    exact argmax ties every tied row receives the full cotangent (JAX's
-    scan-twin splits across the where-chain instead); ties only arise from
-    duplicate points or low-precision rounding and the difference is below
-    training noise (tested at rtol 2e-3).
+    (matches the reference, which never backprops into the cloud).  Argmax
+    rows are selected by comparing the recomputed XLA activations against
+    the kernel's gathered max within a few ULPs of out_dtype — NOT exact
+    bit-equality — so a rounding/reduction-order divergence between the
+    Mosaic matmul and the XLA recompute (new compiler, different TPU
+    generation) degrades to a slightly-blurred argmax instead of silently
+    zeroing the pillar-channel gradient.  Rows within the tolerance all
+    receive the full cotangent (JAX's scan-twin splits across the
+    where-chain instead); ties only arise from duplicate points or
+    low-precision rounding and the difference is below training noise
+    (tested at rtol 2e-3).  scripts/verify_tpu.py's grad-parity check is
+    the required regression step after any jax/libtpu upgrade.
     """
 
     out_dtype = jnp.dtype(out_dtype)   # cached by name for hashability
@@ -475,7 +512,17 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
             keptf = validf * ((pos - start_pos) < max_points)
         else:
             keptf = validf
-        ind = (a_nc == smax_nc) & (keptf[:, None] > 0)
+        # ULP-scaled tolerance instead of bit-equality: the forward max comes
+        # from the Mosaic kernel's matmul, a_nc from an XLA recompute; both
+        # accumulate in f32 and round to out_dtype once, so they agree
+        # exactly today (verify_tpu.py) and a compiler/hardware reduction-
+        # order divergence moves the rounded value by <= ~1 ULP — a 2-ULP
+        # window blurs the argmax instead of silently zeroing the gradient.
+        tol = 2 * jnp.finfo(out_dtype).eps * jnp.maximum(
+            jnp.abs(smax_nc.astype(jnp.float32)), 1.0)
+        close = jnp.abs(a_nc.astype(jnp.float32)
+                        - smax_nc.astype(jnp.float32)) <= tol
+        ind = close & (keptf[:, None] > 0)
         da_nc = jnp.where(ind, ds_nc, 0.0)
         d_mmat = jnp.einsum("nc,na->ca", da_nc,
                             pts_na.astype(jnp.float32),

@@ -18,6 +18,7 @@ Exit code 0 iff all checks pass.
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -81,12 +82,18 @@ def main():
                 p, ctx, geom, cfg.max_points_voxel, mk, mb,
                 exact_point_cap=cap, compute_dtype=dtype, precision=prec,
                 use_pallas=True)))
+            t0 = time.perf_counter()
+            out_pl = jax.block_until_ready(f_pl(pts))
+            print(f"  pallas compile+run {time.perf_counter() - t0:.1f} s "
+                  "(f32 runs fori_loop rounds — the static unroll compiled "
+                  "in 5-11 min on the Mosaic service, docs/STATUS.md r2)",
+                  flush=True)
             f_xla = jax.jit(with_ctx(lambda p, ctx: pz.affine_canvas(
                 p, ctx, geom, cfg.max_points_voxel, mk, mb,
                 exact_point_cap=cap, compute_dtype=dtype, precision=prec,
                 use_pallas=False)))
             check(f"canvas {np.dtype(dtype).name} cap={cap}",
-                  f_pl(pts), f_xla(pts), tol)
+                  out_pl, f_xla(pts), tol)
 
     # 3: parameter-gradient parity, pallas custom VJP vs XLA autodiff
     def loss_of(use_pallas):

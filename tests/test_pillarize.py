@@ -561,6 +561,29 @@ def test_affine_pallas_small_chunks_force_carries(rng):
             amax[end], a_np[kept].max(0), rtol=1e-5, atol=1e-6)
 
 
+def test_affine_scan_t_fori_rounds_bitexact(rng):
+    """unroll_rounds=False (the f32 compile-time fix: combine rounds as an
+    in-kernel fori_loop with dynamic rotates) is bit-exact vs the static
+    unroll for both outputs, cap and no-cap, across chunk boundaries."""
+    from gndnet_tpu.ops.pallas_affine import affine_scan_t
+
+    n, a, c = 1024, 5, 32
+    cells = np.sort(rng.integers(0, 150, n)).astype(np.int32)
+    pts = rng.normal(size=(a, n)).astype(np.float32)
+    valid = (rng.uniform(size=n) > 0.1).astype(np.float32)
+    mmat = (rng.normal(size=(c, a)) * 0.4).astype(np.float32)
+    for cap in (6, None):
+        outs = {}
+        for unroll in (True, False):
+            tot, smax = affine_scan_t(
+                jnp.asarray(cells), jnp.asarray(pts), jnp.asarray(valid),
+                jnp.asarray(mmat), max_points=cap, chunk=256,
+                unroll_rounds=unroll, interpret=True)
+            outs[unroll] = (np.asarray(tot), np.asarray(smax))
+        np.testing.assert_array_equal(outs[True][0], outs[False][0])
+        np.testing.assert_array_equal(outs[True][1], outs[False][1])
+
+
 def test_affine_scan_t_in_kernel_rank_and_carries(rng):
     """The transposed kernel computes the kept mask itself (valid & in-kernel
     occurrence rank < cap).  With chunk=128 == cap lookback window, long runs
