@@ -95,7 +95,8 @@ class GroundInferenceEngine:
             return pred, labels.astype(jnp.int8)
 
         self._run = run   # unjitted, for callers composing larger programs
-        return jax.jit(run)
+        self._jit = jax.jit(run)
+        return self._jit
 
     def _pad(self, points: np.ndarray) -> np.ndarray:
         n = points.shape[0]
@@ -150,6 +151,41 @@ class GroundInferenceEngine:
         while inflight:
             n, pred, labels = inflight.popleft()
             yield np.asarray(pred), np.asarray(labels)[:n]
+
+    def _example_input(self, n: int | None = None) -> np.ndarray:
+        """A padded input of the shape the engine serves (for AOT compiles)."""
+        n = n or self.cfg.num_points
+        pts = np.zeros((n, self.cfg.input_features), np.float32)
+        return self._pad(pts)
+
+    def aot_save(self, path: str, n: int | None = None) -> int:
+        """Ahead-of-time compile the serving program for the engine's padded
+        scan shape and write a single-file executable artifact (no re-trace /
+        re-lower / re-compile on load — the XLA analog of shipping a
+        TensorRT engine).  Returns artifact bytes.  See
+        utils/compile_cache.py for the format and its stability caveats."""
+        from gndnet_tpu.utils.compile_cache import save_compiled
+
+        example = self._example_input(n)
+        compiled = self._jit.lower(self._variables, example).compile()
+        return save_compiled(path, compiled)
+
+    def aot_load(self, path: str) -> None:
+        """Serve from an `aot_save` artifact: scans whose padded shape matches
+        the artifact run the preloaded executable (zero compile cost, even on
+        first call); any other shape falls back to the normal jit path."""
+        from gndnet_tpu.utils.compile_cache import load_compiled
+
+        loaded = load_compiled(path)
+        jit_fn = self._jit
+        shape = self._example_input().shape
+
+        def dispatch(variables, padded):
+            if padded.shape == shape:
+                return loaded(variables, padded)
+            return jit_fn(variables, padded)
+
+        self._fn = dispatch
 
     def warmup(self, n: int | None = None) -> float:
         """Prime the XLA compile with a synthetic flat-plane scan (the

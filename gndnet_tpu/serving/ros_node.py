@@ -64,6 +64,19 @@ class GndNetNode(Node):  # pragma: no cover - needs rclpy at runtime
         self.declare_parameter("output_marker_topic", "/gndnet/ground")
         self.declare_parameter("target_frame", "base_link")
         self.declare_parameter("threshold", 0.16)
+        # cold-start elimination (utils/compile_cache.py): a persistent XLA
+        # compile cache and/or a shape-pinned AOT executable artifact.  The
+        # artifact is written after the first warmup if the file is absent,
+        # so the second node boot skips the 75-150 s compile entirely.
+        self.declare_parameter("compilation_cache_dir", "")
+        self.declare_parameter("aot_path", "")
+
+        cache_dir = resolve_env(
+            str(self.get_parameter("compilation_cache_dir").value))
+        if cache_dir:
+            from gndnet_tpu.utils.compile_cache import enable_compilation_cache
+
+            enable_compilation_cache(cache_dir)
 
         cfg_path = resolve_env(str(self.get_parameter("config_path").value))
         self.cfg = GndNetConfig.from_yaml(cfg_path)
@@ -73,9 +86,17 @@ class GndNetNode(Node):  # pragma: no cover - needs rclpy at runtime
             self.cfg, ckpt["variables"],
             threshold=float(self.get_parameter("threshold").value),
             shift_cloud=self.cfg.shift_cloud)
+        aot_path = resolve_env(str(self.get_parameter("aot_path").value))
+        if aot_path and os.path.exists(aot_path):
+            engine.aot_load(aot_path)
+            self.get_logger().info(f"loaded AOT executable {aot_path}")
         self.engine = StreamingEngine(engine, warmup=True).start()
         self.get_logger().info(
             f"engine compiled in {self.engine.compile_seconds:.1f}s")
+        if aot_path and not os.path.exists(aot_path):
+            size = engine.aot_save(aot_path)
+            self.get_logger().info(
+                f"wrote AOT executable {aot_path} ({size} bytes)")
 
         self.target_frame = str(self.get_parameter("target_frame").value)
         self.tf_buffer = tf2_ros.Buffer()

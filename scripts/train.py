@@ -52,7 +52,16 @@ def main():
                         "are deterministic).  Replaces the reference's "
                         "pre-augmented dataset generation "
                         "(dataset_augmentation.py:49-70)")
+    p.add_argument("--cache_dir", default=None,
+                   help="persistent XLA compilation-cache directory: later "
+                        "runs of the same program skip the 75-150 s first "
+                        "compile (utils/compile_cache.py)")
     args = p.parse_args()
+
+    if args.cache_dir:
+        from gndnet_tpu.utils.compile_cache import enable_compilation_cache
+
+        enable_compilation_cache(args.cache_dir)
 
     from gndnet_tpu.config import load_config
     from gndnet_tpu.train import train_and_evaluate

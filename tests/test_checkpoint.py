@@ -60,6 +60,7 @@ def test_manager_restore_empty(tmp_path):
     mgr.close()
 
 
+@pytest.mark.slow
 def test_load_torch_pth_tar(tmp_path, rng):
     """A reference-format .pth.tar (epoch/state_dict/lowest_loss) loads into
     flax variables that produce identical model output to the exported dict."""

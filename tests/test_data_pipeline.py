@@ -198,6 +198,7 @@ def test_compute_ground_plane_outlier_removal(rng):
     assert grid[11, 11] < 1.0
 
 
+@pytest.mark.slow
 def test_process_frame_and_sequence(rng, tmp_path):
     cloud = sloped_scene(rng)
     res = process_frame(cloud, CFG)
@@ -279,6 +280,7 @@ def test_block_split_matches_serial(rng, tmp_path):
                 np.load(blocked_out / sub / f), np.load(serial_out / sub / f))
 
 
+@pytest.mark.slow
 def test_block_positional_numbering_with_skips(tmp_path, rng):
     """Block mode writes positional names and the compactor renumbers the
     union to the serial 0..n-1 even when a middle frame is skipped."""

@@ -33,6 +33,7 @@ def test_fine_grid_config_shape():
     assert cfg.grid_size == (250, 250, 1)
 
 
+@pytest.mark.slow
 def test_odd_grid_forward_and_train(rng):
     model, variables = init_model(ODD)
     pts = rng.uniform(0.2, 9.8, (2, 400, 4)).astype(np.float32)

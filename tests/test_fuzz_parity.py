@@ -105,6 +105,7 @@ def test_evaluate_reference_compat_toggle(rng):
     assert b == pytest.approx(0.733 ** 2, rel=0.05)
 
 
+@pytest.mark.slow
 def test_fused_equals_pillar_on_real_scan():
     """End-to-end path equality on a real KITTI scan (not just synthetic)."""
     import os

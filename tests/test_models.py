@@ -165,6 +165,7 @@ def oracle_forward(cfg, sd, pts_b, use_norm=False):
     return out.squeeze(1).numpy()  # (B, ny, nx)
 
 
+@pytest.mark.slow
 def test_model_matches_full_oracle(rng):
     model, variables = randomized_variables(CFG, rng)
     sd = export_torch_state_dict(variables, CFG)
@@ -237,6 +238,7 @@ def test_train_mode_runs_and_updates_stats(rng):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+@pytest.mark.slow
 def test_multi_layer_pfn_forward_and_grad(rng):
     """vfe_filters with >1 layer (the reference supports stacks via
     pfn_layers, pointpillars.py:97-107): pillar path forward + gradients."""

@@ -46,6 +46,7 @@ def test_device_count():
     assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
 
 
+@pytest.mark.slow
 def test_dp_train_matches_single_device():
     pts, labels = batch(np.random.default_rng(7))
     model, tx, state0 = create_train_state(CFG, steps_per_epoch=10)
@@ -121,6 +122,7 @@ def test_spmd_train_step_runs_and_learns():
     assert losses[-1] < 0.6 * losses[0], losses
 
 
+@pytest.mark.slow
 def test_spmd_grads_match_single_device():
     """One dp=1 x sp=4 spatial step must produce the same parameter update as
     the single-device fused step (same loss, psum'd slab gradients)."""
@@ -167,6 +169,7 @@ def _odd_batch(rng, cfg, b=4, n=512):
 
 
 @pytest.mark.parametrize("ny,sp", [(10, 2), (10, 4), (250, 2)])
+@pytest.mark.slow
 def test_spatial_infer_padded_odd_ny_matches_unsharded(ny, sp):
     """Odd / non-divisible grid heights (fine_grid's 250 included) run under
     spatial sharding with zero-padded slabs and stay bit-comparable to the

@@ -238,6 +238,7 @@ def test_fused_frontend_no_cap(rng):
     assert np.asarray(counts)[0] == 30
 
 
+@pytest.mark.slow
 def test_sorted_frontend_matches_scatter_frontend(rng):
     """fused_impl='sorted' (pallas interpret on CPU) must agree with the
     scatter implementation for both cap modes."""
@@ -399,6 +400,7 @@ def test_affine_impl_through_model(rng):
                                    rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_affine_use_norm_folds_bn(rng):
     """use_norm=True eval-mode BN folds into the affine weights: affine path
     == pillar path on a BN model."""
@@ -433,6 +435,7 @@ def test_affine_use_norm_folds_bn(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_affine_pallas_kernel_matches_xla_scan_path(rng):
     """The fused pallas pass (rank+sums+matmul+max with cross-chunk carries,
     interpret mode on CPU) must produce the same canvas as the pure-XLA

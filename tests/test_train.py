@@ -193,6 +193,7 @@ def test_use_norm_training_pillar_path(rng):
     assert not np.allclose(before, after)
 
 
+@pytest.mark.slow
 def test_use_norm_fused_train_matches_pillar_path(rng):
     """Flat-stream BN statistics: the fused use_norm train step (no
     (M, P, F) pillar tensor — models/pfn.py:activate_flat_bn_train derives
