@@ -57,7 +57,7 @@ def replicate(mesh: Mesh, tree):
 
 
 def make_dp_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
-                       mesh: Mesh) -> Callable:
+                       mesh: Mesh, augment: bool = False) -> Callable:
     """Data-parallel fused train step.
 
     state is replicated; (points, labels) are dp-sharded.  Inside the shard,
@@ -65,11 +65,24 @@ def make_dp_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
     grads and the loss are `pmean`ed over dp, and BatchNorm runs as true
     sync-BN (flax axis_name="dp" psums the batch statistics inside the
     forward), so a dp=K step is bit-comparable to the single-device step on
-    the concatenated batch."""
+    the concatenated batch.
+
+    `augment=True` applies the same on-device augmentation as the
+    single-device step (train.make_train_step), with the RNG additionally
+    folded on the dp axis index so shards draw distinct transforms (the
+    RNG STREAM therefore differs from the single-device step — same
+    distribution, not bit-equal)."""
     total = loss_fn(cfg)
     sync_model = GroundEstimatorNet(model.cfg, bn_axis="dp")
 
     def local_step(state: TrainState, points, labels):
+        if augment:
+            from gndnet_tpu.data.augmentation import device_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            points, labels = device_augment(points, labels, key, cfg)
+
         def compute(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             pred, mut = sync_model.apply(

@@ -244,7 +244,7 @@ def _pad_canvas(canvas: jax.Array, hl: int, sp: int) -> jax.Array:
 
 
 def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
-                         mesh: Mesh) -> Callable:
+                         mesh: Mesh, augment: bool = False) -> Callable:
     """Full dp x sp training step.
 
     Per device: fused canvas for the local dp batch shard (replicated over
@@ -252,7 +252,12 @@ def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
     predictions over sp, loss on the full map.  Gradients: psum over sp
     (each sp device owns its slab's contribution) then pmean over dp.
     Requires use_norm=False; any ny works (odd grids like fine_grid's 250
-    get zero-padded slabs with masked rows and masked BN counts)."""
+    get zero-padded slabs with masked rows and masked BN counts).
+
+    `augment=True` matches the single-device step's on-device augmentation
+    (train.make_train_step).  The RNG folds (step, dp index) — NOT the sp
+    index: points are replicated over sp, and every sp device in a dp row
+    must apply the identical transform or their canvases diverge."""
     if cfg.use_norm:
         raise ValueError("spatial training requires use_norm=False")
     sp = mesh.shape["sp"]
@@ -263,6 +268,13 @@ def make_spmd_train_step(model: GroundEstimatorNet, tx, cfg: GndNetConfig,
              else jnp.float32)
 
     def local_step(state: TrainState, points, labels):
+        if augment:
+            from gndnet_tpu.data.augmentation import device_augment
+
+            key = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+            key = jax.random.fold_in(key, jax.lax.axis_index("dp"))
+            points, labels = device_augment(points, labels, key, cfg)
+
         def compute(params):
             canvas = _pad_canvas(
                 _fused_canvas(cfg, params, points, train=True), hl, sp)

@@ -73,7 +73,8 @@ def run_worker(args) -> None:
     dp = jax.device_count() // sp
     mesh = multihost.global_mesh(dp=dp, sp=sp)
     model, tx, state = create_train_state(cfg, steps_per_epoch=10)
-    step = make_spmd_train_step(model, tx, cfg, mesh)
+    step = make_spmd_train_step(model, tx, cfg, mesh,
+                                augment=args.augment)
     state = multihost.replicate_global(mesh, state)
 
     # synthetic local shard: every process holds batch/nproc scans
@@ -115,7 +116,7 @@ def spawn_local(args) -> int:
             "--devices-per-process", str(args.devices_per_process),
             "--sp", str(args.sp), "--steps", str(args.steps),
             "--config", args.config,
-        ]
+        ] + (["--augment"] if args.augment else [])
         env = dict(os.environ, JAX_PLATFORMS="cpu")
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -138,6 +139,10 @@ def main() -> int:
                     help="force a platform (cpu for localhost testing)")
     ap.add_argument("--devices-per-process", type=int, default=2)
     ap.add_argument("--sp", type=int, default=2)
+    ap.add_argument("--augment", action="store_true",
+                    help="on-device augmentation inside the SPMD step "
+                         "(RNG folds the dp axis index; sp rows share "
+                         "one transform)")
     ap.add_argument("--steps", type=int, default=2)
     ap.add_argument("--config", default="tiny")
     ap.add_argument("--spawn", type=int, default=0,

@@ -123,6 +123,35 @@ def test_spmd_train_step_runs_and_learns():
 
 
 @pytest.mark.slow
+def test_spmd_and_dp_train_augmented_runs_and_learns():
+    """Feature-matrix parity: on-device augmentation must work under both
+    mesh train-step builders, not just the single-device step (augment=True
+    folds the dp axis index into the step RNG; sp rows share one transform
+    so the replicated canvases stay identical)."""
+    pts, labels = batch(np.random.default_rng(12))
+    mesh = make_mesh(dp=2, sp=2)
+    model, tx, state = create_train_state(CFG, steps_per_epoch=10)
+    step = make_spmd_train_step(model, tx, CFG, mesh, augment=True)
+    state = replicate(mesh, state)
+    pts_s, labels_s = shard_batch(mesh, (pts, labels))
+    losses = []
+    for _ in range(8):
+        state, loss = step(state, pts_s, labels_s)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.8 * losses[0], losses
+
+    mesh_dp = make_mesh(dp=4, sp=1)
+    model, tx, state = create_train_state(CFG, steps_per_epoch=10)
+    dp_step = make_dp_train_step(model, tx, CFG, mesh_dp, augment=True)
+    state = replicate(mesh_dp, state)
+    pts_s, labels_s = shard_batch(mesh_dp, (pts, labels))
+    state, l0 = dp_step(state, pts_s, labels_s)
+    state, l1 = dp_step(state, pts_s, labels_s)
+    assert np.isfinite([float(l0), float(l1)]).all()
+
+
+@pytest.mark.slow
 def test_spmd_grads_match_single_device():
     """One dp=1 x sp=4 spatial step must produce the same parameter update as
     the single-device fused step (same loss, psum'd slab gradients)."""
