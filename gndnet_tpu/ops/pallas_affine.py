@@ -442,14 +442,27 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
       => da[:, p] = d_smax[cell_p] * [a_p == smax[cell_p]],
          d mmat_t = da @ pts_t.T
 
-    The per-point (smax, d_smax) copies come from ONE row gather: `cell_s`
-    is the strided id (stride = cells_per_item + 1, the trailing slot being
-    each item's drop segment), so padding the (b, c3, C) payload with one
-    zero row per item yields a (b*stride, C) table that `cell_s` indexes
-    directly.  The zero drop-slot is safe because every drop-run row has
-    kept=0.  This replaced a (N, 2C) -inf canvas scatter + full-window
-    segmented broadcast kernel — measured ~21 ms of the 39 ms B=16 train
-    step on a v5e — with ~2 ms of padded reshape + row gather.
+    The per-point (smax, d_smax) copies come from ONE row gather of a
+    combined (b*stride, 2C) table: `cell_s` is the strided id (stride =
+    cells_per_item + 1, the trailing slot being each item's drop segment),
+    so padding the (b, c3, 2C) payload with one zero row per item yields a
+    table that `cell_s` indexes directly.  The zero drop-slot is safe
+    because every drop-run row has kept=0.  This replaced a (N, 2C) -inf
+    canvas scatter + full-window segmented broadcast kernel — measured
+    ~21 ms of the 39 ms B=16 train step on a v5e — with padded reshape +
+    one row gather.  Three further round-3 cuts (scripts/probe_decomp_b16
+    measured the bwd at ~10.3 ms of the 27 ms B=16 step before them):
+
+      * the smax and d_smax rows ride ONE combined (·, 2C) gather — row
+        gathers here are per-row bound, so width is free and the second
+        gather was pure overhead;
+      * the d_smax rows stay in out_dtype — they are the cotangent of an
+        out_dtype primal, so the old f32 upcast before the gather doubled
+        the gather's write traffic for zero added information;
+      * da and the pts operand of the d_mmat contraction feed the MXU in
+        out_dtype with f32 accumulation (bf16 rounding of the point
+        coordinates is far below bf16 training noise; f32 mode is
+        unchanged — everything is f32 there anyway).
 
     Cotangents for points (and for the sums/count output) are defined as
     ZERO: training differentiates parameters, not point coordinates
@@ -482,7 +495,7 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
         return (tot_g, max_g), (cell_s, pts_t, valid, mmat_t, max_g)
 
     def pad_table(vals):
-        """(b*c3, C) cell-ordered rows -> (b*(c3+1), C) strided-id table
+        """(b*c3, W) cell-ordered rows -> (b*(c3+1), W) strided-id table
         with a zero drop-slot row per item."""
         width = vals.shape[-1]
         return jnp.pad(vals.reshape(b, c3, width),
@@ -495,11 +508,21 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
 
         # Everything stays in (N, C) layout — the gathered tables' natural
         # row-major shape — so no (C, N) transposes of the big per-point
-        # arrays are materialized.
-        smax_nc = pad_table(max_g)[cell_s]                   # (N, C)
-        ds_nc = pad_table(d_max_g.astype(jnp.float32))[cell_s]
+        # arrays are materialized.  One combined gather delivers both the
+        # segment max and its cotangent: TPU row gathers at this size are
+        # per-ROW bound (~2.6 ns/row on v5e, flat from 64- to 128-wide
+        # rows), so one wide gather costs half of two narrow ones — and
+        # d_max_g is the cotangent of an out_dtype primal, so storing it
+        # wider than out_dtype would add zero information.
+        both = pad_table(jnp.concatenate(
+            [max_g, d_max_g.astype(max_g.dtype)], axis=-1))[cell_s]
+        smax_nc = both[:, :max_g.shape[-1]]                  # (N, C)
+        ds_nc = both[:, max_g.shape[-1]:]
 
-        # recompute activations + kept mask (cheap relative to the gathers)
+        # recompute activations + kept mask (cheap relative to the gather;
+        # the cummax recompute beats gathering per-cell run starts — an
+        # int32 1-column gather measured 12 ms vs 1.2 ms for the cummax
+        # at B=16 train shapes, scripts/probe_decomp_b16.py)
         pts_na = pts_t.T                                     # (N, A)
         a_nc = jnp.dot(pts_na.astype(out_dtype), mmat_t.T.astype(out_dtype),
                        preferred_element_type=jnp.float32).astype(out_dtype)
@@ -523,9 +546,9 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
         close = jnp.abs(a_nc.astype(jnp.float32)
                         - smax_nc.astype(jnp.float32)) <= tol
         ind = close & (keptf[:, None] > 0)
-        da_nc = jnp.where(ind, ds_nc, 0.0)
+        da_nc = jnp.where(ind, ds_nc, jnp.zeros((), ds_nc.dtype))
         d_mmat = jnp.einsum("nc,na->ca", da_nc,
-                            pts_na.astype(jnp.float32),
+                            pts_na.astype(out_dtype),
                             preferred_element_type=jnp.float32)
         return (None, None, jnp.zeros_like(pts_t),
                 jnp.zeros_like(valid), d_mmat)
