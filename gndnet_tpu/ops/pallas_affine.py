@@ -507,13 +507,15 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
         n = cell_s.shape[0]
 
         # Everything stays in (N, C) layout — the gathered tables' natural
-        # row-major shape — so no (C, N) transposes of the big per-point
-        # arrays are materialized.  One combined gather delivers both the
-        # segment max and its cotangent: TPU row gathers at this size are
-        # per-ROW bound (~2.6 ns/row on v5e, flat from 64- to 128-wide
-        # rows), so one wide gather costs half of two narrow ones — and
-        # d_max_g is the cotangent of an out_dtype primal, so storing it
-        # wider than out_dtype would add zero information.
+        # row-major shape.  One combined gather delivers both the segment
+        # max and its cotangent: TPU row gathers at this size are per-ROW
+        # bound (~2.6 ns/row on v5e, flat from 64- to 128-wide rows), so
+        # one wide gather costs half of two narrow ones — and d_max_g is
+        # the cotangent of an out_dtype primal, so storing it wider would
+        # add zero information.  Known residual cost: XLA relayouts the
+        # gather output (row-major) to contraction-minor for the d_mmat
+        # dot, a ~410 MB copy at B=16; a column-gather formulation was
+        # tried and canonicalizes to the SAME gather+copy HLO.
         both = pad_table(jnp.concatenate(
             [max_g, d_max_g.astype(max_g.dtype)], axis=-1))[cell_s]
         smax_nc = both[:, :max_g.shape[-1]]                  # (N, C)
@@ -522,7 +524,7 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
         # recompute activations + kept mask (cheap relative to the gather;
         # the cummax recompute beats gathering per-cell run starts — an
         # int32 1-column gather measured 12 ms vs 1.2 ms for the cummax
-        # at B=16 train shapes, scripts/probe_decomp_b16.py)
+        # at B=16 train shapes)
         pts_na = pts_t.T                                     # (N, A)
         a_nc = jnp.dot(pts_na.astype(out_dtype), mmat_t.T.astype(out_dtype),
                        preferred_element_type=jnp.float32).astype(out_dtype)

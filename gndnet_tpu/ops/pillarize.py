@@ -676,13 +676,14 @@ def affine_canvas(
     # equal to packed at 114k (sort2_idx_gather 890 us vs 902) and ~1.6x
     # cheaper than hauling all 4 feature columns through the sort network.
     idxcap = 1 << max(n_per - 1, 1).bit_length()
+    packed_fits = (stride - 1) * idxcap + (n_per - 1) < 2 ** 31
     # b == 1 only: at B=16 the post-sort row gather (3 ns/row across B*N
-    # rows) outweighs what the packed sort saves, while the 5-operand sort
-    # amortizes across the batch (bin_sort_B16 ~0.18 ms/scan measured)
-    packed_ok = b == 1 and (stride - 1) * idxcap + (n_per - 1) < 2 ** 31
+    # rows) outweighs what the packed sort saves, while the multi-operand
+    # sort amortizes across the batch (bin_sort_B16 ~0.18 ms/scan measured)
+    packed_gather_ok = b == 1 and packed_fits
     pts2d = points.reshape(b, n_per, f)
     local2d = local.reshape(b, n_per)
-    if packed_ok:
+    if packed_gather_ok:
         key = local2d * idxcap + jnp.arange(n_per, dtype=jnp.int32)
         skey = jax.lax.sort(key, dimension=-1)
         local_s2 = skey // idxcap
@@ -694,6 +695,21 @@ def affine_canvas(
         local_s2, idx_s = jax.lax.sort(
             (local2d, iota), num_keys=1, is_stable=True, dimension=-1)
         spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
+    elif packed_fits:
+        # batched: haul the feature columns as sort PAYLOAD (re-gathering
+        # them after a key-only sort costs ~3 ns/row across B*N rows —
+        # measured 4x the whole sort), but pack (cell, iota) into the one
+        # int32 key: a stable multi-key sort would add a hidden iota
+        # OPERAND (XLA materializes one for stability) plus a two-word
+        # comparator, measured 2.75 ms vs 1.86 ms packed at B=16 kitti_sem
+        # shapes on a v5e.  Uniqueness of the packed key makes the order
+        # deterministic and identical to the stable sort.
+        key = local2d * idxcap + jnp.arange(n_per, dtype=jnp.int32)
+        sorted_all = jax.lax.sort(
+            (key,) + tuple(pts2d[..., i] for i in range(f)),
+            num_keys=1, is_stable=False, dimension=-1)
+        local_s2 = sorted_all[0] // idxcap
+        spts2d = jnp.stack(sorted_all[1:], axis=-1)
     else:
         sorted_all = jax.lax.sort(
             (local2d,) + tuple(pts2d[..., i] for i in range(f)),
