@@ -167,16 +167,28 @@ def affine_segment_scan(cell_sorted: jax.Array, pts8: jax.Array,
 
 
 def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
-              carry_scalars, carry_tot, carry_max, *,
+              *refs,
               chunk: int, rounds: int, rank_cap: int | None, out_dtype,
-              unroll: bool = True):
+              unroll: bool = True, transpose_out: bool = False,
+              precision=None, want_argmax: bool = False):
     """Transposed-layout kernel body: stream position lives in LANES.
 
     cell_ref (1, chunk) i32, pts_ref (A, chunk) f32 augmented features
     (A >= 4; rows [x, y, z, extras...]), valid_ref (1, chunk) f32 0/1,
     mmat_ref (C, A) — the per-point matrix pre-transposed so the MXU
     produces activations directly as (C, chunk).  See `affine_scan_t`.
+
+    With want_argmax, the max scan carries (value, position) pairs with the
+    lexicographic combine max-value-then-MIN-position, so a third output
+    delivers each row's inclusive argmax STREAM POSITION per channel —
+    the first kept row attaining the running max, i.e. exactly the row
+    torch.max routes gradient to in the reference's pillar pooling.  The
+    value output is bit-identical either way (ties pick an equal value).
     """
+    if want_argmax:
+        argpos_ref, carry_scalars, carry_tot, carry_max, carry_pos = refs
+    else:
+        carry_scalars, carry_tot, carry_max = refs
     i = pl.program_id(0)
     cells = cell_ref[...]                    # (1, chunk) i32
     pts = pts_ref[...]                       # (A, chunk) f32
@@ -226,8 +238,11 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
 
     # PFN pre-activations on the MXU; round to out_dtype NOW (bit-compat
     # with an out_dtype matmul result) but run the combine rounds in f32.
+    # precision matters for f32 operands: the MXU's default truncates to
+    # bf16 (~4e-3 rel) — parity mode threads 'highest' through here so the
+    # kernel matches a true-f32 reference (scripts/probe_f32_diff.py).
     a = jnp.dot(mmat_ref[...].astype(out_dtype), pts.astype(out_dtype),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=precision)
     a = a.astype(out_dtype).astype(jnp.float32)
     neg = jnp.float32(_BIG_NEG)
     am = jnp.where(keptf > 0, a, neg)
@@ -239,29 +254,73 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
     # scanned tensor is 32-bit inside the rounds (Mosaic's dynamic_rotate
     # constraint) and the loop caps the unrolled live ranges that send the
     # f32 Mosaic compile into double-digit minutes (docs/STATUS.md r2).
-    def scan_round(k, carry):
-        g, am = carry
-        s = jnp.int32(1) << k if not unroll else 1 << k
-        pc = pltpu.roll(cells, shift=s, axis=1)
-        ok = (lane >= s) & (pc == cells)
-        g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
-        am = jnp.where(ok, jnp.maximum(am, pltpu.roll(am, shift=s, axis=1)),
-                       am)
-        return g, am
+    if want_argmax:
+        pm = jnp.broadcast_to(pos, am.shape)
 
-    if unroll:
-        for k in range(rounds):
-            g, am = scan_round(k, (g, am))
+        def scan_round(k, carry):
+            g, am, pm = carry
+            s = jnp.int32(1) << k if not unroll else 1 << k
+            pc = pltpu.roll(cells, shift=s, axis=1)
+            ok = (lane >= s) & (pc == cells)
+            g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
+            # earlier window wins ties (>=) -> min position for the max
+            am_r = pltpu.roll(am, shift=s, axis=1)
+            take = ok & (am_r >= am)
+            am = jnp.where(take, am_r, am)
+            pm = jnp.where(take, pltpu.roll(pm, shift=s, axis=1), pm)
+            return g, am, pm
+
+        if unroll:
+            for k in range(rounds):
+                g, am, pm = scan_round(k, (g, am, pm))
+        else:
+            g, am, pm = jax.lax.fori_loop(0, rounds, scan_round,
+                                          (g, am, pm))
     else:
-        g, am = jax.lax.fori_loop(0, rounds, scan_round, (g, am))
+        def scan_round(k, carry):
+            g, am = carry
+            s = jnp.int32(1) << k if not unroll else 1 << k
+            pc = pltpu.roll(cells, shift=s, axis=1)
+            ok = (lane >= s) & (pc == cells)
+            g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
+            am = jnp.where(
+                ok, jnp.maximum(am, pltpu.roll(am, shift=s, axis=1)), am)
+            return g, am
+
+        if unroll:
+            for k in range(rounds):
+                g, am = scan_round(k, (g, am))
+        else:
+            g, am = jax.lax.fori_loop(0, rounds, scan_round, (g, am))
 
     g = jnp.where(in_first, g + jnp.max(carry_tot[...], axis=1,
                                         keepdims=True), g)
     cm = jnp.max(carry_max[...], axis=1, keepdims=True)
-    am = jnp.where(in_first, jnp.maximum(am, cm), am)
+    if want_argmax:
+        # carried state is EARLIER in the stream: it wins ties too
+        cpos = jnp.max(carry_pos[...], axis=1, keepdims=True)
+        take_c = in_first & (cm >= am)
+        am = jnp.where(take_c, cm, am)
+        pm = jnp.where(take_c, cpos, pm)
+    else:
+        am = jnp.where(in_first, jnp.maximum(am, cm), am)
 
     tot_ref[...] = g
-    amax_ref[...] = am.astype(out_dtype)
+    if transpose_out:
+        # row-major (chunk, C) max tiles: the caller's end-row gather then
+        # reads a row-major array directly instead of paying a full-stream
+        # XLA transpose copy (410 MB at B=16).  Only the WIDE output is
+        # transposed — a (chunk, 4) tot would pad its 4-wide minor dim to
+        # the 128-lane tile (32x write amplification), while (4, N) tot is
+        # a free BITCAST to column-major (N, 4) for XLA's gather.  The
+        # VMEM-local tile transpose is vreg shuffles — values bit-identical.
+        amax_ref[...] = am.astype(out_dtype).T
+        if want_argmax:
+            argpos_ref[...] = pm.T
+    else:
+        amax_ref[...] = am.astype(out_dtype)
+        if want_argmax:
+            argpos_ref[...] = pm
 
     # --- new carry: the LAST lane's inclusive state -----------------------
     last = lane == (chunk - 1)
@@ -273,6 +332,9 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
     lm = jnp.max(jnp.where(last, am, neg), axis=1, keepdims=True)
     carry_tot[...] = jnp.broadcast_to(lt, carry_tot.shape)
     carry_max[...] = jnp.broadcast_to(lm, carry_max.shape)
+    if want_argmax:
+        lp = jnp.max(jnp.where(last, pm, -1), axis=1, keepdims=True)
+        carry_pos[...] = jnp.broadcast_to(lp, carry_pos.shape)
 
 
 def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
@@ -280,6 +342,9 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
                   max_points: int | None = None,
                   out_dtype=jnp.float32, chunk: int = 1024,
                   unroll_rounds: bool | None = None,
+                  transpose_out: bool = False,
+                  precision=None,
+                  want_argmax: bool = False,
                   interpret: bool = False):
     """Transposed, rank-fusing successor of `affine_segment_scan`.
 
@@ -301,6 +366,10 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
       mmat_t: (C, A) transposed per-point weight matrix (every row of
         pts_t is a real feature; there is no in-band valid column).
       max_points: exact per-cell point cap (None = keep every valid point).
+      precision: lax matmul precision for the in-kernel dot.  None (the
+        default) uses the MXU default, which TRUNCATES f32 operands to
+        bf16 (~4e-3 rel); parity-precision callers must thread 'highest'
+        (exactness matters only for f32 — bf16 operands are unaffected).
       unroll_rounds: True statically unrolls the combine rounds (fastest;
         the bf16 default), False runs them as an in-kernel fori_loop with
         dynamic rotates — same math, bounded live ranges, which keeps the
@@ -311,7 +380,20 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
     Returns (run_tot (4, N) f32 rows [sum x, sum y, sum z, kept count],
     run_max (C, N) out_dtype) in TRANSPOSED layout; gather columns at
     start+min(count, cap)-1 (cap mode) or run ends (no cap), as with
-    `affine_segment_scan`.
+    `affine_segment_scan`.  With `transpose_out=True` the MAX output comes
+    back ROW-major (N, C) via a VMEM-local tile transpose at the write
+    (bit-identical values), so its end-row gather skips the full-stream
+    XLA transpose copy; tot stays (4, N) — its .T is a free bitcast for
+    XLA, and a (chunk, 4) tile would pad the minor dim to 128 lanes
+    (32x write amplification).
+
+    With `want_argmax=True` a THIRD output is appended: the inclusive
+    argmax stream position per (row, channel) — the FIRST kept row
+    attaining the running max (torch.max tie semantics, reference
+    modules/pointpillars.py pillar pooling).  Same layout rule as the max
+    output.  The max values are bit-identical with or without it; the
+    custom-VJP training path uses the positions for an exact first-winner
+    backward instead of recomputing activations.
     """
     n = cell_sorted.shape[0]
     if n % chunk != 0:
@@ -325,13 +407,47 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
     rounds = max(1, (window - 1).bit_length())
     if unroll_rounds is None:
         unroll_rounds = jnp.dtype(out_dtype).itemsize <= 2
+    if jnp.dtype(out_dtype).itemsize <= 2:
+        # Mosaic rejects contract_precision<fp32> with sub-f32 operands
+        # ("Bad lhs type"); precision only matters for f32 operands anyway
+        precision = None
 
     kernel = functools.partial(
         _kernel_t, chunk=chunk, rounds=rounds,
-        rank_cap=max_points, out_dtype=out_dtype, unroll=unroll_rounds)
+        rank_cap=max_points, out_dtype=out_dtype, unroll=unroll_rounds,
+        transpose_out=transpose_out, precision=precision,
+        want_argmax=want_argmax)
 
     def idx(i):
         return (0, i)
+
+    if transpose_out:
+        out_specs = [
+            pl.BlockSpec((4, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((4, n), jnp.float32),
+            jax.ShapeDtypeStruct((n, width), out_dtype),
+        ]
+        if want_argmax:
+            out_specs.append(pl.BlockSpec((chunk, width), lambda i: (i, 0),
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((n, width), jnp.int32))
+    else:
+        out_specs = [
+            pl.BlockSpec((4, chunk), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((width, chunk), idx, memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((4, n), jnp.float32),
+            jax.ShapeDtypeStruct((width, n), out_dtype),
+        ]
+        if want_argmax:
+            out_specs.append(pl.BlockSpec((width, chunk), idx,
+                                          memory_space=pltpu.VMEM))
+            out_shape.append(jax.ShapeDtypeStruct((width, n), jnp.int32))
 
     return pl.pallas_call(
         kernel,
@@ -343,19 +459,13 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
             pl.BlockSpec((width, aug), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((4, chunk), idx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((width, chunk), idx, memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((4, n), jnp.float32),
-            jax.ShapeDtypeStruct((width, n), out_dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((4, 128), jnp.float32),
             pltpu.VMEM((width, 128), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((width, 128), jnp.int32)] if want_argmax else []),
         interpret=interpret,
     )(cell_sorted[None, :].astype(jnp.int32), pts_t,
       valid.reshape(1, n).astype(pts_t.dtype), mmat_t)
@@ -428,9 +538,89 @@ def segment_broadcast_t(cell_sorted: jax.Array, vals_t: jax.Array, *,
     )(cell_sorted[None, :].astype(jnp.int32), vals_t)
 
 
+def _bwd_dmmat_kernel(both_ref, pts_ref, out_ref, *,
+                      chunk: int, out_dtype, precision=None):
+    """Fused d(mmat) backward: per chunk, select each row's cotangent by
+    ARGMAX POSITION equality and accumulate the (C, A) contraction on the
+    MXU.
+
+    both_ref is the gathered (chunk, 2C) f32 table tile
+    [bitcast(argpos i32) | d_smax]: row p's first half holds, per channel,
+    the stream position of its cell's first kept max row (from the forward
+    kernel's want_argmax scan).  d(a)[p, c] = d_smax[cell_p, c] iff
+    p == argpos[cell_p, c] — exact torch.max first-winner semantics, no
+    activation recompute, no tolerance window, robust to any compiler
+    reduction-order divergence.  Replaces the XLA chain gather -> relayout
+    copy (410 MB at B=16) -> cummax -> masked einsum: everything after the
+    row gather streams through VMEM once.
+    """
+    i = pl.program_id(0)
+    both = both_ref[...]                      # (chunk, 2C) f32
+    width = both.shape[1] // 2
+    argpos = jax.lax.bitcast_convert_type(both[:, :width], jnp.int32)
+    ds = both[:, width:]
+    pts = pts_ref[...]                        # (A, chunk) f32
+    row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
+    pos = i * chunk + row                     # global stream position
+    da = jnp.where(argpos == pos, ds, jnp.zeros((), ds.dtype)
+                   ).astype(out_dtype)
+    # (C, A) partial: contract the stream dim of da (dim 0) with pts (dim 1)
+    partial = jax.lax.dot_general(
+        da, pts.astype(da.dtype), (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision)
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = partial
+
+    @pl.when(i > 0)
+    def _acc():
+        out_ref[...] += partial
+
+
+def affine_bwd_dmmat(cell_sorted: jax.Array, both: jax.Array,
+                     pts_t: jax.Array, width: int,
+                     *, out_dtype=jnp.float32, chunk: int = 1024,
+                     precision=None,
+                     interpret: bool = False) -> jax.Array:
+    """d(mmat_t) for the affine segment-max: one fused pass over the sorted
+    stream.  `both` is the per-point (N, 2C) gathered f32 payload
+    [bitcast(argpos) | d_smax] (see _make_scan_gather.bwd); `width` = C.
+    `cell_sorted` is unused by the kernel (selection is by position
+    equality) but kept in the signature as the stream-defining operand for
+    symmetry with the forward.  Returns (C, A) f32."""
+    n = both.shape[0]
+    if n % chunk != 0:
+        raise ValueError(f"N={n} must be divisible by chunk={chunk}")
+    aug = pts_t.shape[0]
+    if jnp.dtype(out_dtype).itemsize <= 2:
+        precision = None   # Mosaic: no fp32 contract precision on bf16
+
+    kernel = functools.partial(
+        _bwd_dmmat_kernel, chunk=chunk, out_dtype=out_dtype,
+        precision=precision)
+
+    def idx(i):
+        return (0, i)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, 2 * width), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((aug, chunk), idx, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((width, aug), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((width, aug), jnp.float32),
+        interpret=interpret,
+    )(both, pts_t)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_scan_gather(max_points, out_dtype, chunk, interpret,
-                      batch, cells_per_item):
+                      batch, cells_per_item, precision=None):
     """custom_vjp'd (kernel scan + end-row gather) factory, cached per
     static configuration (`batch`/`cells_per_item` describe the strided
     per-item cell space of the caller, ops/pillarize.affine_canvas).
@@ -439,10 +629,10 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
     Backward hand-derives d(mmat_t) only:
 
       smax[cell] = max over kept p of a_p,  a_p = round(mmat_t @ pts_t)
-      => da[:, p] = d_smax[cell_p] * [a_p == smax[cell_p]],
+      => da[:, p] = d_smax[cell_p] * [p == argmax-position[cell_p]],
          d mmat_t = da @ pts_t.T
 
-    The per-point (smax, d_smax) copies come from ONE row gather of a
+    The per-point (argpos, d_smax) copies come from ONE row gather of a
     combined (b*stride, 2C) table: `cell_s` is the strided id (stride =
     cells_per_item + 1, the trailing slot being each item's drop segment),
     so padding the (b, c3, 2C) payload with one zero row per item yields a
@@ -453,12 +643,9 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
     one row gather.  Three further round-3 cuts (scripts/probe_decomp_b16
     measured the bwd at ~10.3 ms of the 27 ms B=16 step before them):
 
-      * the smax and d_smax rows ride ONE combined (·, 2C) gather — row
-        gathers here are per-row bound, so width is free and the second
-        gather was pure overhead;
-      * the d_smax rows stay in out_dtype — they are the cotangent of an
-        out_dtype primal, so the old f32 upcast before the gather doubled
-        the gather's write traffic for zero added information;
+      * the argpos and d_smax rows ride ONE combined (·, 2C) f32 gather
+        (positions bitcast to f32) — row gathers here are per-row bound,
+        so width is free and a second gather would be pure overhead;
       * da and the pts operand of the d_mmat contraction feed the MXU in
         out_dtype with f32 accumulation (bf16 rounding of the point
         coordinates is far below bf16 training noise; f32 mode is
@@ -467,17 +654,19 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
     Cotangents for points (and for the sums/count output) are defined as
     ZERO: training differentiates parameters, not point coordinates
     (matches the reference, which never backprops into the cloud).  Argmax
-    rows are selected by comparing the recomputed XLA activations against
-    the kernel's gathered max within a few ULPs of out_dtype — NOT exact
-    bit-equality — so a rounding/reduction-order divergence between the
-    Mosaic matmul and the XLA recompute (new compiler, different TPU
-    generation) degrades to a slightly-blurred argmax instead of silently
-    zeroing the pillar-channel gradient.  Rows within the tolerance all
-    receive the full cotangent (JAX's scan-twin splits across the
-    where-chain instead); ties only arise from duplicate points or
-    low-precision rounding and the difference is below training noise
-    (tested at rtol 2e-3).  scripts/verify_tpu.py's grad-parity check is
-    the required regression step after any jax/libtpu upgrade.
+    rows are selected by POSITION: the forward kernel's (value, position)
+    scan records, per (cell, channel), the stream position of the FIRST
+    kept row attaining the max (want_argmax), and the backward routes the
+    whole cotangent to exactly that row — torch.max semantics
+    (modules/pointpillars.py pillar pooling), robust by construction to
+    any compiler/hardware reduction-order divergence.  This replaced a
+    2-ULP value-window match against a recomputed activation, which gave
+    the FULL cotangent to every tied row: the reference's fixed-size scans
+    duplicate ~30% of points (dataset_utils sampling with replacement), so
+    every duplicated point is an exact tie and the window over-counted its
+    gradient by its multiplicity (~0.4 rel d(kernel) error on the real
+    fixture, scripts/verify_tpu.py found it; for identical duplicates the
+    first-winner sum equals XLA autodiff's tie-split sum exactly).
     """
 
     out_dtype = jnp.dtype(out_dtype)   # cached by name for hashability
@@ -485,14 +674,26 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
 
     @jax.custom_vjp
     def scan_gather(cell_s, ends, pts_t, valid, mmat_t):
-        tot_t, max_t = affine_scan_t(
+        # transpose_out: the kernel writes the max row-major (N, C), so the
+        # end-row gather below reads it directly — the (C, N) layout would
+        # cost a full-stream XLA transpose copy first (410 MB at B=16).
+        # tot stays (4, N): its .T is a free bitcast for XLA's gather.
+        tot_t, max_nc = affine_scan_t(
             cell_s, pts_t, valid, mmat_t, max_points=max_points,
-            out_dtype=out_dtype, chunk=chunk, interpret=interpret)
-        return tot_t.T[ends], max_t.T[ends]
+            out_dtype=out_dtype, chunk=chunk, transpose_out=True,
+            precision=precision, interpret=interpret)
+        return tot_t.T[ends], max_nc[ends]
 
     def fwd(cell_s, ends, pts_t, valid, mmat_t):
-        tot_g, max_g = scan_gather(cell_s, ends, pts_t, valid, mmat_t)
-        return (tot_g, max_g), (cell_s, pts_t, valid, mmat_t, max_g)
+        # the VJP fwd runs the argmax-tracking variant (same max VALUES,
+        # bit-identical) and keeps the gathered per-cell argmax positions
+        # as the residual — max_g itself is NOT needed by the backward
+        tot_t, max_nc, argpos_nc = affine_scan_t(
+            cell_s, pts_t, valid, mmat_t, max_points=max_points,
+            out_dtype=out_dtype, chunk=chunk, transpose_out=True,
+            precision=precision, want_argmax=True, interpret=interpret)
+        return ((tot_t.T[ends], max_nc[ends]),
+                (cell_s, pts_t, valid, mmat_t, argpos_nc[ends]))
 
     def pad_table(vals):
         """(b*c3, W) cell-ordered rows -> (b*(c3+1), W) strided-id table
@@ -502,56 +703,32 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
                        ((0, 0), (0, 1), (0, 0))).reshape(-1, width)
 
     def bwd(res, cts):
-        cell_s, pts_t, valid, mmat_t, max_g = res
+        cell_s, pts_t, valid, mmat_t, argpos_g = res
         _, d_max_g = cts
-        n = cell_s.shape[0]
 
         # Everything stays in (N, C) layout — the gathered tables' natural
-        # row-major shape.  One combined gather delivers both the segment
-        # max and its cotangent: TPU row gathers at this size are per-ROW
-        # bound (~2.6 ns/row on v5e, flat from 64- to 128-wide rows), so
-        # one wide gather costs half of two narrow ones — and d_max_g is
-        # the cotangent of an out_dtype primal, so storing it wider would
-        # add zero information.  Known residual cost: XLA relayouts the
-        # gather output (row-major) to contraction-minor for the d_mmat
-        # dot, a ~410 MB copy at B=16; a column-gather formulation was
-        # tried and canonicalizes to the SAME gather+copy HLO.
+        # row-major shape.  One combined gather delivers both the argmax
+        # position and the cotangent: TPU row gathers at this size are
+        # per-ROW bound (~2.6 ns/row on v5e, flat from 64- to 128-wide
+        # rows), so one wide gather costs half of two narrow ones.  The
+        # positions ride as a BITCAST to f32 so both halves share one
+        # dtype (width is free for the gather; the kernel bitcasts back).
+        # The drop-slot zero row decodes to argpos 0 with d_smax 0, so
+        # drop/pad rows contribute nothing.
         both = pad_table(jnp.concatenate(
-            [max_g, d_max_g.astype(max_g.dtype)], axis=-1))[cell_s]
-        smax_nc = both[:, :max_g.shape[-1]]                  # (N, C)
-        ds_nc = both[:, max_g.shape[-1]:]
+            [jax.lax.bitcast_convert_type(argpos_g, jnp.float32),
+             d_max_g.astype(jnp.float32)], axis=-1))[cell_s]
 
-        # recompute activations + kept mask (cheap relative to the gather;
-        # the cummax recompute beats gathering per-cell run starts — an
-        # int32 1-column gather measured 12 ms vs 1.2 ms for the cummax
-        # at B=16 train shapes)
-        pts_na = pts_t.T                                     # (N, A)
-        a_nc = jnp.dot(pts_na.astype(out_dtype), mmat_t.T.astype(out_dtype),
-                       preferred_element_type=jnp.float32).astype(out_dtype)
-        validf = valid.reshape(n).astype(jnp.float32)
-        if max_points is not None:
-            pos = jnp.arange(n, dtype=jnp.int32)
-            is_start = jnp.concatenate(
-                [jnp.ones((1,), bool), cell_s[1:] != cell_s[:-1]])
-            start_pos = jax.lax.cummax(jnp.where(is_start, pos, 0))
-            keptf = validf * ((pos - start_pos) < max_points)
-        else:
-            keptf = validf
-        # ULP-scaled tolerance instead of bit-equality: the forward max comes
-        # from the Mosaic kernel's matmul, a_nc from an XLA recompute; both
-        # accumulate in f32 and round to out_dtype once, so they agree
-        # exactly today (verify_tpu.py) and a compiler/hardware reduction-
-        # order divergence moves the rounded value by <= ~1 ULP — a 2-ULP
-        # window blurs the argmax instead of silently zeroing the gradient.
-        tol = 2 * jnp.finfo(out_dtype).eps * jnp.maximum(
-            jnp.abs(smax_nc.astype(jnp.float32)), 1.0)
-        close = jnp.abs(a_nc.astype(jnp.float32)
-                        - smax_nc.astype(jnp.float32)) <= tol
-        ind = close & (keptf[:, None] > 0)
-        da_nc = jnp.where(ind, ds_nc, jnp.zeros((), ds_nc.dtype))
-        d_mmat = jnp.einsum("nc,na->ca", da_nc,
-                            pts_na.astype(out_dtype),
-                            preferred_element_type=jnp.float32)
+        # everything after the gather — the position-equality mask and the
+        # (C, A) contraction — runs in ONE fused Mosaic pass that consumes
+        # the gather output in its natural row-major layout
+        # (affine_bwd_dmmat); the XLA chain needed a 410 MB relayout copy
+        # before the dot plus a full-stream cummax (B=16 measurements in
+        # docs/KERNELS.md "Train backward budget").
+        d_mmat = affine_bwd_dmmat(
+            cell_s, both, pts_t, mmat_t.shape[0],
+            out_dtype=out_dtype, chunk=chunk,
+            precision=precision, interpret=interpret)
         return (None, None, jnp.zeros_like(pts_t),
                 jnp.zeros_like(valid), d_mmat)
 

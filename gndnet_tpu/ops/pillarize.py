@@ -104,14 +104,22 @@ def _bin(points, geom: PillarGeometry):
 
     Matches reference utils/point_cloud_ops.py:33-38: c = floor((p - lo)/v),
     invalid when c < 0 or c >= grid_size (upper edge exclusive).
+
+    Computed as three independent (M,) column chains, NOT one (M, 3) chain:
+    a 3-wide minor dim pads to the 128-lane tile on TPU, so every
+    elementwise op on (M, 3) writes ~42x the useful bytes (measured ~1.1 ms
+    of the B=16 kitti_sem bin stage); the column slices fuse into the
+    arithmetic and the (M,) chains run at full lane occupancy.
     """
-    lo = jnp.asarray(geom.pc_range[:3], dtype=points.dtype)
-    v = jnp.asarray(geom.voxel_size, dtype=points.dtype)
-    c = jnp.floor((points[..., :3] - lo) / v)
-    grid = jnp.asarray(geom.grid_size, dtype=c.dtype)
-    valid = jnp.all((c >= 0) & (c < grid), axis=-1)
-    ci = c.astype(jnp.int32)
-    return ci[..., 0], ci[..., 1], ci[..., 2], valid
+    out = []
+    valid = None
+    for k in range(3):
+        c = jnp.floor((points[..., k] - geom.pc_range[k])
+                      / geom.voxel_size[k])
+        ok = (c >= 0) & (c < geom.grid_size[k])
+        valid = ok if valid is None else (valid & ok)
+        out.append(c.astype(jnp.int32))
+    return out[0], out[1], out[2], valid
 
 
 def bin_points(points: jax.Array, geom: PillarGeometry) -> PointContext:
@@ -782,7 +790,7 @@ def affine_canvas(
         scan_gather = _make_scan_gather(
             max_points if exact_point_cap else None,
             jnp.dtype(compute_dtype).name, chunk, interpret,
-            b, c3)
+            b, c3, precision)
         tot, smax = scan_gather(cell_s, ends, pts_t, valid_row, mmat_t)
         count = jnp.where(counts_flat > 0, tot[:, 3], 0.0)
     else:
@@ -845,9 +853,15 @@ def affine_canvas(
     centers = jnp.stack(
         [ccx * vx + (vx / 2.0 + geom.pc_range[0]),
          ccy * vy + (vy / 2.0 + geom.pc_range[1])], axis=-1)
+    # explicit precision: at f32 the TPU MXU default truncates operands to
+    # bf16 (~4e-3 rel) — parity mode ('highest') must reach these dots too
+    # (found by the CPU-reference check, scripts/probe_f32_diff.py)
+    pp = jax.lax.Precision(precision)
     w_cell = (bias.astype(compute_dtype)
-              - mean.astype(compute_dtype) @ w_clu.astype(compute_dtype)
-              - centers.astype(compute_dtype) @ w_cen.astype(compute_dtype))
+              - jnp.dot(mean.astype(compute_dtype),
+                        w_clu.astype(compute_dtype), precision=pp)
+              - jnp.dot(centers.astype(compute_dtype),
+                        w_cen.astype(compute_dtype), precision=pp))
 
     canvas = jax.nn.relu(smax + w_cell)
     pad_floor = jax.nn.relu(bias.astype(compute_dtype))

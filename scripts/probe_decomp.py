@@ -95,43 +95,37 @@ def main():
         local_s = skey // idxcap
         idx_s = skey - local_s * idxcap
         spts = p[idx_s]
-        valid_s = local_s < c3
-        sptst = spts.T
-        pts8t = jnp.concatenate(
-            [sptst[:3], valid_s.astype(jnp.float32)[None, :], sptst[3:4],
-             jnp.zeros((3, p.shape[0]), jnp.float32)], axis=0)
-        return local_s, pts8t
+        valid_s = (local_s < c3).astype(jnp.float32)
+        return local_s, spts.T, valid_s        # slim (A, N) + valid row
+
+    def mmat_t():
+        mmat = pz.affine_pfn_weights(mk, jnp.zeros((mk.shape[1],)), 4,
+                                     geom)[0]
+        return mmat.T                          # (C, A)
 
     def s4_kernel(i, p):
         from gndnet_tpu.ops.pallas_affine import affine_scan_t
-        local_s, pts8t = s3_gather(i, p)
-        mmat = pz.affine_pfn_weights(mk, jnp.zeros((mk.shape[1],)), 4,
-                                     geom)[0]
-        mmat8t = jnp.zeros((mmat.shape[1], 8), jnp.float32)
-        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T).at[:, 4:5].set(
-            mmat[3:4].T)
-        return affine_scan_t(local_s, pts8t, mmat8t, max_points=100,
-                             out_dtype=jnp.bfloat16, chunk=2048)
+        local_s, pts_t, valid_s = s3_gather(i, p)
+        return affine_scan_t(local_s, pts_t, valid_s, mmat_t(),
+                             max_points=100, out_dtype=jnp.bfloat16,
+                             chunk=4096, transpose_out=True)
 
     def s5_hist(i, p):
         from gndnet_tpu.ops.pallas_affine import (affine_scan_t,
                                                   histogram_ends)
-        local_s, pts8t = s3_gather(i, p)
-        mmat = pz.affine_pfn_weights(mk, jnp.zeros((mk.shape[1],)), 4,
-                                     geom)[0]
-        mmat8t = jnp.zeros((mmat.shape[1], 8), jnp.float32)
-        mmat8t = mmat8t.at[:, 0:3].set(mmat[0:3].T).at[:, 4:5].set(
-            mmat[3:4].T)
-        tot_t, max_t = affine_scan_t(local_s, pts8t, mmat8t, max_points=100,
-                                     out_dtype=jnp.bfloat16, chunk=2048)
+        local_s, pts_t, valid_s = s3_gather(i, p)
+        tot_t, max_nc = affine_scan_t(local_s, pts_t, valid_s, mmat_t(),
+                                      max_points=100,
+                                      out_dtype=jnp.bfloat16,
+                                      chunk=4096, transpose_out=True)
         ends, counts = histogram_ends(local_s[None], geom.ny, geom.nx)
-        return tot_t, max_t, ends, counts
+        return tot_t, max_nc, ends, counts
 
     def s6_gathers(i, p):
-        tot_t, max_t, ends, counts = s5_hist(i, p)
+        tot_t, max_nc, ends, counts = s5_hist(i, p)
         starts = ends - counts + 1
         e = jnp.maximum(starts + jnp.minimum(counts, 100) - 1, 0)[0]
-        return tot_t.T[e], max_t.T[e]
+        return tot_t.T[e], max_nc[e]
 
     def s7_canvas(i, p):
         ctx = pz.bin_points_batch(bump(i, p)[None], geom)

@@ -50,30 +50,31 @@ def main():
     ncell = 10000
     rng = np.random.default_rng(0)
     cell = jnp.asarray(np.sort(rng.integers(0, ncell + 1, n)).astype(np.int32))
-    pts8t = jnp.asarray(rng.normal(size=(8, n)).astype(np.float32))
-    mmat8t = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32) * 0.3)
+    pts4t = jnp.asarray(rng.normal(size=(4, n)).astype(np.float32))
+    valid = jnp.ones((1, n), jnp.float32)
+    mmat4t = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32) * 0.3)
     ends = jnp.asarray(np.sort(rng.choice(n, ncell, replace=False))
                        .astype(np.int32))
 
-    def scan_only(i, c, p, m):
-        return affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, m,
+    def scan_only(i, c, p, v, m):
+        return affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, v, m,
                              max_points=100, out_dtype=jnp.bfloat16,
                              chunk=2048)[1]
 
-    def scan_gather_rowT(i, c, p, m):
-        tot_t, max_t = affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, m,
+    def scan_gather_rowT(i, c, p, v, m):
+        tot_t, max_t = affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, v, m,
                                      max_points=100, out_dtype=jnp.bfloat16,
                                      chunk=2048)
         return tot_t.T[ends], max_t.T[ends]
 
-    def scan_gather_colT(i, c, p, m):
-        tot_t, max_t = affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, m,
+    def scan_gather_colT(i, c, p, v, m):
+        tot_t, max_t = affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, v, m,
                                      max_points=100, out_dtype=jnp.bfloat16,
                                      chunk=2048)
         return tot_t[:, ends].T, max_t[:, ends].T
 
-    def scan_gather_col_noT(i, c, p, m):
-        tot_t, max_t = affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, m,
+    def scan_gather_col_noT(i, c, p, v, m):
+        tot_t, max_t = affine_scan_t(c, p + i.astype(jnp.float32) * 1e-6, v, m,
                                      max_points=100, out_dtype=jnp.bfloat16,
                                      chunk=2048)
         return tot_t[:, ends], max_t[:, ends]
@@ -90,10 +91,10 @@ def main():
         return histogram_ends(c[None] + (i - i), 100, 100)[1]
 
     cases = {
-        "scan_only": (scan_only, (cell, pts8t, mmat8t)),
-        "scan_gather_rowT": (scan_gather_rowT, (cell, pts8t, mmat8t)),
-        "scan_gather_colT": (scan_gather_colT, (cell, pts8t, mmat8t)),
-        "scan_gather_col_noT": (scan_gather_col_noT, (cell, pts8t, mmat8t)),
+        "scan_only": (scan_only, (cell, pts4t, valid, mmat4t)),
+        "scan_gather_rowT": (scan_gather_rowT, (cell, pts4t, valid, mmat4t)),
+        "scan_gather_colT": (scan_gather_colT, (cell, pts4t, valid, mmat4t)),
+        "scan_gather_col_noT": (scan_gather_col_noT, (cell, pts4t, valid, mmat4t)),
         "gather_only_rowT": (gather_only_rowT, (big,)),
         "gather_only_col": (gather_only_col, (big,)),
         "hist_102k": (hist_102k, (cell,)),
