@@ -170,7 +170,8 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
               *refs,
               chunk: int, rounds: int, rank_cap: int | None, out_dtype,
               unroll: bool = True, transpose_out: bool = False,
-              precision=None, want_argmax: bool = False):
+              precision=None, want_argmax: bool = False,
+              packed_argmax: bool = False, dot_in_f32: bool = False):
     """Transposed-layout kernel body: stream position lives in LANES.
 
     cell_ref (1, chunk) i32, pts_ref (A, chunk) f32 augmented features
@@ -184,8 +185,13 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
     the first kept row attaining the running max, i.e. exactly the row
     torch.max routes gradient to in the reference's pillar pooling.  The
     value output is bit-identical either way (ties pick an equal value).
+    With packed_argmax (16-bit values + rank cap only), value and
+    first-winner rank ride ONE i32 key through a plain max scan instead —
+    zero extra scan cost — and the single non-tot output is that key.
     """
-    if want_argmax:
+    if want_argmax and packed_argmax:
+        carry_scalars, carry_tot, carry_key = refs
+    elif want_argmax:
         argpos_ref, carry_scalars, carry_tot, carry_max, carry_pos = refs
     else:
         carry_scalars, carry_tot, carry_max = refs
@@ -241,57 +247,103 @@ def _kernel_t(cell_ref, pts_ref, valid_ref, mmat_ref, tot_ref, amax_ref,
     # precision matters for f32 operands: the MXU's default truncates to
     # bf16 (~4e-3 rel) — parity mode threads 'highest' through here so the
     # kernel matches a true-f32 reference (scripts/probe_f32_diff.py).
-    a = jnp.dot(mmat_ref[...].astype(out_dtype), pts.astype(out_dtype),
+    # dot_in_f32 (interpret mode): CPU XLA cannot execute bf16 x bf16 ->
+    # f32 dots; upcasting the ALREADY-ROUNDED bf16 operands to f32 is
+    # mathematically identical (bf16 products are exact in f32, f32
+    # accumulation either way)
+    dot_t = jnp.float32 if dot_in_f32 else out_dtype
+    a = jnp.dot(mmat_ref[...].astype(out_dtype).astype(dot_t),
+                pts.astype(out_dtype).astype(dot_t),
                 preferred_element_type=jnp.float32, precision=precision)
-    a = a.astype(out_dtype).astype(jnp.float32)
-    neg = jnp.float32(_BIG_NEG)
-    am = jnp.where(keptf > 0, a, neg)
+    a_rounded = a.astype(out_dtype)
 
-    # segmented inclusive prefix scans along lanes, one shared roll+predicate
-    # per round; (1, chunk) cell ops cost 1/64th of the (C, chunk) data ops.
-    # unroll=True emits `rounds` static rolls (fastest; measured round-2);
-    # unroll=False runs them as a fori_loop with a dynamic rotate — every
-    # scanned tensor is 32-bit inside the rounds (Mosaic's dynamic_rotate
-    # constraint) and the loop caps the unrolled live ranges that send the
-    # f32 Mosaic compile into double-digit minutes (docs/STATUS.md r2).
+    def scan(vals, combine):
+        """Shared segmented-scan driver: one cells-roll + predicate per
+        round, combine applied to the (g, ...) tuple."""
+        def scan_round(k, carry):
+            s = jnp.int32(1) << k if not unroll else 1 << k
+            pc = pltpu.roll(cells, shift=s, axis=1)
+            ok = (lane >= s) & (pc == cells)
+            rolled = tuple(pltpu.roll(v, shift=s, axis=1) for v in carry)
+            return combine(ok, carry, rolled)
+
+        if unroll:
+            for k in range(rounds):
+                vals = scan_round(k, vals)
+            return vals
+        return jax.lax.fori_loop(0, rounds, scan_round, vals)
+
+    # segmented inclusive prefix scans along lanes, one shared
+    # roll+predicate per round; (1, chunk) cell ops cost 1/64th of the
+    # (C, chunk) data ops.  unroll=True emits `rounds` static rolls
+    # (fastest; measured round-2); unroll=False runs them as a fori_loop
+    # with a dynamic rotate — every scanned tensor is 32-bit inside the
+    # rounds (Mosaic's dynamic_rotate constraint) and the loop caps the
+    # unrolled live ranges that send the f32 Mosaic compile into
+    # double-digit minutes (docs/STATUS.md r2).
+    if want_argmax and packed_argmax:
+        # 16-bit-value mode with a rank cap: ONE i32 key packs the
+        # monotone 16-bit image of the rounded value above an INVERTED
+        # 12-bit occurrence rank, so the plain max scan yields the value
+        # AND its first-winner rank simultaneously — argmax tracking at
+        # zero extra scan cost vs the serving kernel (vs ~2x for the
+        # (value, position) pair scan below).  mono: flip all bits for
+        # negatives, set the sign bit for positives — a total order of
+        # bf16 as ints (same trick as pillarize.segmented_max_intkey),
+        # done arithmetically (65535-b / b+32768) to stay in i32 ops.
+        bits = jax.lax.bitcast_convert_type(
+            a_rounded, jnp.uint16).astype(jnp.int32)
+        mono = jnp.where(bits >= 32768, 65535 - bits, bits + 32768)
+        rank = jnp.minimum(pos - start, jnp.int32(4095))
+        key = jnp.where(keptf > 0,
+                        (mono << 12) | (4095 - rank), 0)
+
+        def combine(ok, cur, rolled):
+            g, km = cur
+            gr, kr = rolled
+            return (jnp.where(ok, g + gr, g),
+                    jnp.where(ok, jnp.maximum(km, kr), km))
+
+        g, key = scan((g, key), combine)
+        g = jnp.where(in_first, g + jnp.max(carry_tot[...], axis=1,
+                                            keepdims=True), g)
+        ck = jnp.max(carry_key[...], axis=1, keepdims=True)
+        key = jnp.where(in_first, jnp.maximum(key, ck), key)
+        tot_ref[...] = g
+        amax_ref[...] = key.T if transpose_out else key
+        last = lane == (chunk - 1)
+        carry_scalars[0] = jnp.max(jnp.where(last, cells, -1))
+        carry_scalars[1] = jnp.max(jnp.where(last, start, -1))
+        lt = jnp.max(jnp.where(last, g, jnp.float32(_BIG_NEG)), axis=1,
+                     keepdims=True)
+        lk = jnp.max(jnp.where(last, key, -1), axis=1, keepdims=True)
+        carry_tot[...] = jnp.broadcast_to(lt, carry_tot.shape)
+        carry_key[...] = jnp.broadcast_to(lk, carry_key.shape)
+        return
+
+    neg = jnp.float32(_BIG_NEG)
+    am = jnp.where(keptf > 0, a_rounded.astype(jnp.float32), neg)
     if want_argmax:
         pm = jnp.broadcast_to(pos, am.shape)
 
-        def scan_round(k, carry):
-            g, am, pm = carry
-            s = jnp.int32(1) << k if not unroll else 1 << k
-            pc = pltpu.roll(cells, shift=s, axis=1)
-            ok = (lane >= s) & (pc == cells)
-            g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
+        def combine(ok, cur, rolled):
+            g, am, pm = cur
+            gr, am_r, pm_r = rolled
             # earlier window wins ties (>=) -> min position for the max
-            am_r = pltpu.roll(am, shift=s, axis=1)
             take = ok & (am_r >= am)
-            am = jnp.where(take, am_r, am)
-            pm = jnp.where(take, pltpu.roll(pm, shift=s, axis=1), pm)
-            return g, am, pm
+            return (jnp.where(ok, g + gr, g),
+                    jnp.where(take, am_r, am),
+                    jnp.where(take, pm_r, pm))
 
-        if unroll:
-            for k in range(rounds):
-                g, am, pm = scan_round(k, (g, am, pm))
-        else:
-            g, am, pm = jax.lax.fori_loop(0, rounds, scan_round,
-                                          (g, am, pm))
+        g, am, pm = scan((g, am, pm), combine)
     else:
-        def scan_round(k, carry):
-            g, am = carry
-            s = jnp.int32(1) << k if not unroll else 1 << k
-            pc = pltpu.roll(cells, shift=s, axis=1)
-            ok = (lane >= s) & (pc == cells)
-            g = jnp.where(ok, g + pltpu.roll(g, shift=s, axis=1), g)
-            am = jnp.where(
-                ok, jnp.maximum(am, pltpu.roll(am, shift=s, axis=1)), am)
-            return g, am
+        def combine(ok, cur, rolled):
+            g, am = cur
+            gr, am_r = rolled
+            return (jnp.where(ok, g + gr, g),
+                    jnp.where(ok, jnp.maximum(am, am_r), am))
 
-        if unroll:
-            for k in range(rounds):
-                g, am = scan_round(k, (g, am))
-        else:
-            g, am = jax.lax.fori_loop(0, rounds, scan_round, (g, am))
+        g, am = scan((g, am), combine)
 
     g = jnp.where(in_first, g + jnp.max(carry_tot[...], axis=1,
                                         keepdims=True), g)
@@ -345,6 +397,7 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
                   transpose_out: bool = False,
                   precision=None,
                   want_argmax: bool = False,
+                  packed_argmax: bool = False,
                   interpret: bool = False):
     """Transposed, rank-fusing successor of `affine_segment_scan`.
 
@@ -394,6 +447,14 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
     output.  The max values are bit-identical with or without it; the
     custom-VJP training path uses the positions for an exact first-winner
     backward instead of recomputing activations.
+
+    With `packed_argmax=True` on top (requires a 16-bit out_dtype and
+    max_points <= 4096): returns (run_tot, packed_key) where packed_key is
+    `mono16(value) << 12 | (4095 - rank)` i32 — the plain max scan yields
+    value AND first-winner rank at the serving kernel's cost.  Decode:
+    value = mono16^-1(key >> 12) (exact), rank = 4095 - (key & 4095),
+    argmax position = run start + rank.  Empty runs decode to key 0
+    (value NaN) and must be masked by occupancy, as with the -inf max.
     """
     n = cell_sorted.shape[0]
     if n % chunk != 0:
@@ -411,16 +472,25 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
         # Mosaic rejects contract_precision<fp32> with sub-f32 operands
         # ("Bad lhs type"); precision only matters for f32 operands anyway
         precision = None
+    if packed_argmax:
+        if not want_argmax:
+            raise ValueError("packed_argmax requires want_argmax")
+        if jnp.dtype(out_dtype).itemsize > 2:
+            raise ValueError("packed_argmax needs a 16-bit out_dtype")
+        if max_points is None or max_points > 4096:
+            raise ValueError("packed_argmax needs max_points <= 4096")
 
     kernel = functools.partial(
         _kernel_t, chunk=chunk, rounds=rounds,
         rank_cap=max_points, out_dtype=out_dtype, unroll=unroll_rounds,
         transpose_out=transpose_out, precision=precision,
-        want_argmax=want_argmax)
+        want_argmax=want_argmax, packed_argmax=packed_argmax,
+        dot_in_f32=interpret)
 
     def idx(i):
         return (0, i)
 
+    wide_dtype = jnp.int32 if packed_argmax else out_dtype
     if transpose_out:
         out_specs = [
             pl.BlockSpec((4, chunk), idx, memory_space=pltpu.VMEM),
@@ -429,9 +499,9 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
         ]
         out_shape = [
             jax.ShapeDtypeStruct((4, n), jnp.float32),
-            jax.ShapeDtypeStruct((n, width), out_dtype),
+            jax.ShapeDtypeStruct((n, width), wide_dtype),
         ]
-        if want_argmax:
+        if want_argmax and not packed_argmax:
             out_specs.append(pl.BlockSpec((chunk, width), lambda i: (i, 0),
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((n, width), jnp.int32))
@@ -442,9 +512,9 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
         ]
         out_shape = [
             jax.ShapeDtypeStruct((4, n), jnp.float32),
-            jax.ShapeDtypeStruct((width, n), out_dtype),
+            jax.ShapeDtypeStruct((width, n), wide_dtype),
         ]
-        if want_argmax:
+        if want_argmax and not packed_argmax:
             out_specs.append(pl.BlockSpec((width, chunk), idx,
                                           memory_space=pltpu.VMEM))
             out_shape.append(jax.ShapeDtypeStruct((width, n), jnp.int32))
@@ -461,11 +531,13 @@ def affine_scan_t(cell_sorted: jax.Array, pts_t: jax.Array,
         ],
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((4, 128), jnp.float32),
-            pltpu.VMEM((width, 128), jnp.float32),
-        ] + ([pltpu.VMEM((width, 128), jnp.int32)] if want_argmax else []),
+        scratch_shapes=(
+            [pltpu.SMEM((2,), jnp.int32),
+             pltpu.VMEM((4, 128), jnp.float32)]
+            + ([pltpu.VMEM((width, 128), jnp.int32)] if packed_argmax
+               else [pltpu.VMEM((width, 128), jnp.float32)])
+            + ([pltpu.VMEM((width, 128), jnp.int32)]
+               if want_argmax and not packed_argmax else [])),
         interpret=interpret,
     )(cell_sorted[None, :].astype(jnp.int32), pts_t,
       valid.reshape(1, n).astype(pts_t.dtype), mmat_t)
@@ -539,7 +611,8 @@ def segment_broadcast_t(cell_sorted: jax.Array, vals_t: jax.Array, *,
 
 
 def _bwd_dmmat_kernel(both_ref, pts_ref, out_ref, *,
-                      chunk: int, out_dtype, precision=None):
+                      chunk: int, out_dtype, precision=None,
+                      dot_in_f32: bool = False):
     """Fused d(mmat) backward: per chunk, select each row's cotangent by
     ARGMAX POSITION equality and accumulate the (C, A) contraction on the
     MXU.
@@ -562,11 +635,12 @@ def _bwd_dmmat_kernel(both_ref, pts_ref, out_ref, *,
     pts = pts_ref[...]                        # (A, chunk) f32
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     pos = i * chunk + row                     # global stream position
+    dot_t = jnp.float32 if dot_in_f32 else out_dtype
     da = jnp.where(argpos == pos, ds, jnp.zeros((), ds.dtype)
-                   ).astype(out_dtype)
+                   ).astype(out_dtype).astype(dot_t)
     # (C, A) partial: contract the stream dim of da (dim 0) with pts (dim 1)
     partial = jax.lax.dot_general(
-        da, pts.astype(da.dtype), (((0,), (1,)), ((), ())),
+        da, pts.astype(out_dtype).astype(dot_t), (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision)
 
     @pl.when(i == 0)
@@ -598,7 +672,7 @@ def affine_bwd_dmmat(cell_sorted: jax.Array, both: jax.Array,
 
     kernel = functools.partial(
         _bwd_dmmat_kernel, chunk=chunk, out_dtype=out_dtype,
-        precision=precision)
+        precision=precision, dot_in_f32=interpret)
 
     def idx(i):
         return (0, i)
@@ -671,9 +745,17 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
 
     out_dtype = jnp.dtype(out_dtype)   # cached by name for hashability
     b, c3 = batch, cells_per_item
+    # 16-bit values + cap: value and first-winner rank ride one packed i32
+    # key through a plain max scan — argmax tracking at zero extra scan
+    # cost.  f32 (or capless) falls back to the (value, position) pair
+    # scan.  `starts` (per-cell run starts) is a primal argument so the
+    # packed decode can map rank -> global position; it is unused by the
+    # pair-scan modes and gets a zero cotangent either way.
+    packed = (out_dtype.itemsize <= 2 and max_points is not None
+              and max_points <= 4096)
 
     @jax.custom_vjp
-    def scan_gather(cell_s, ends, pts_t, valid, mmat_t):
+    def scan_gather(cell_s, ends, starts, pts_t, valid, mmat_t):
         # transpose_out: the kernel writes the max row-major (N, C), so the
         # end-row gather below reads it directly — the (C, N) layout would
         # cost a full-stream XLA transpose copy first (410 MB at B=16).
@@ -684,16 +766,31 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
             precision=precision, interpret=interpret)
         return tot_t.T[ends], max_nc[ends]
 
-    def fwd(cell_s, ends, pts_t, valid, mmat_t):
+    def fwd(cell_s, ends, starts, pts_t, valid, mmat_t):
         # the VJP fwd runs the argmax-tracking variant (same max VALUES,
         # bit-identical) and keeps the gathered per-cell argmax positions
         # as the residual — max_g itself is NOT needed by the backward
-        tot_t, max_nc, argpos_nc = affine_scan_t(
-            cell_s, pts_t, valid, mmat_t, max_points=max_points,
-            out_dtype=out_dtype, chunk=chunk, transpose_out=True,
-            precision=precision, want_argmax=True, interpret=interpret)
-        return ((tot_t.T[ends], max_nc[ends]),
-                (cell_s, pts_t, valid, mmat_t, argpos_nc[ends]))
+        if packed:
+            tot_t, key_nc = affine_scan_t(
+                cell_s, pts_t, valid, mmat_t, max_points=max_points,
+                out_dtype=out_dtype, chunk=chunk, transpose_out=True,
+                precision=precision, want_argmax=True, packed_argmax=True,
+                interpret=interpret)
+            key_g = key_nc[ends]                       # (b*c3, C) i32
+            mono = key_g >> 12
+            bits = jnp.where(mono >= 32768, mono - 32768, 65535 - mono)
+            max_g = jax.lax.bitcast_convert_type(
+                bits.astype(jnp.uint16), out_dtype)    # exact inverse
+            argpos_g = starts[:, None] + (4095 - (key_g & 4095))
+        else:
+            tot_t, max_nc, argpos_nc = affine_scan_t(
+                cell_s, pts_t, valid, mmat_t, max_points=max_points,
+                out_dtype=out_dtype, chunk=chunk, transpose_out=True,
+                precision=precision, want_argmax=True, interpret=interpret)
+            max_g = max_nc[ends]
+            argpos_g = argpos_nc[ends]
+        return ((tot_t.T[ends], max_g),
+                (cell_s, pts_t, valid, mmat_t, argpos_g))
 
     def pad_table(vals):
         """(b*c3, W) cell-ordered rows -> (b*(c3+1), W) strided-id table
@@ -729,7 +826,7 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
             cell_s, both, pts_t, mmat_t.shape[0],
             out_dtype=out_dtype, chunk=chunk,
             precision=precision, interpret=interpret)
-        return (None, None, jnp.zeros_like(pts_t),
+        return (None, None, None, jnp.zeros_like(pts_t),
                 jnp.zeros_like(valid), d_mmat)
 
     scan_gather.defvjp(fwd, bwd)

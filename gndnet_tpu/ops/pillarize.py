@@ -786,12 +786,16 @@ def affine_canvas(
                 starts_local + jnp.minimum(counts_raw, max_points) - 1, 0)
         offs = (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
         ends = (ends_local + offs).reshape(-1)
+        # global run starts: the packed-argmax VJP decodes first-winner
+        # rank -> global stream position as starts + rank
+        starts = (starts_local + offs).reshape(-1)
         counts_flat = counts_raw.reshape(-1)
         scan_gather = _make_scan_gather(
             max_points if exact_point_cap else None,
             jnp.dtype(compute_dtype).name, chunk, interpret,
             b, c3, precision)
-        tot, smax = scan_gather(cell_s, ends, pts_t, valid_row, mmat_t)
+        tot, smax = scan_gather(cell_s, ends, starts, pts_t, valid_row,
+                                mmat_t)
         count = jnp.where(counts_flat > 0, tot[:, 3], 0.0)
     else:
         pos = jnp.arange(b * n_pad, dtype=jnp.int32)

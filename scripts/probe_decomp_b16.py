@@ -130,8 +130,9 @@ def main():
             starts_local + jnp.minimum(counts_raw, 100) - 1, 0)
         offs = (jnp.arange(b, dtype=jnp.int32) * n_pad)[:, None]
         ends = (ends_local + offs).reshape(-1)
+        starts = (starts_local + offs).reshape(-1)
         sg = _make_scan_gather(100, "bfloat16", chunk, False, b, c3)
-        tot, smax = sg(cell_s, ends, pts_t, valid_row, mmat.T)
+        tot, smax = sg(cell_s, ends, starts, pts_t, valid_row, mmat.T)
         return tot, smax
 
     def s3_kernel5(i, p):

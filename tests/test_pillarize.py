@@ -375,6 +375,47 @@ def test_affine_vjp_duplicate_ties_match_autodiff(rng):
                                rtol=0, atol=1e-5)
 
 
+def test_affine_vjp_bf16_packed_argmax(rng):
+    """The bf16 training VJP uses the PACKED argmax scan (mono16(value)
+    << 12 | inverted rank in one i32 key, plain max scan): its forward
+    canvas must be BIT-identical to the primal bf16 path, and d(kernel)
+    must track XLA autodiff within bf16 rounding noise (distinct points
+    whose activations collide after bf16 rounding get first-winner
+    routing vs autodiff's tie split — torch.max picks the first too)."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    base = make_cloud(rng, n=600)
+    dup = base[rng.integers(0, 600, 424)]
+    pts = np.concatenate([base, dup]).astype(np.float32)[None]
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    kwargs = dict(compute_dtype=jnp.bfloat16, differentiable=True)
+    c_primal = affine_canvas(flat, ctx, GEOM, 5, w, b, use_pallas=True,
+                             interpret=True, **kwargs)
+    c_fwd, _ = jax.vjp(lambda kk: affine_canvas(
+        flat, ctx, GEOM, 5, kk, b, use_pallas=True, interpret=True,
+        **kwargs), w)
+    np.testing.assert_array_equal(np.asarray(c_fwd, np.float32),
+                                  np.asarray(c_primal, np.float32))
+
+    def loss_of(use_pallas):
+        def loss(kernel):
+            c = affine_canvas(flat, ctx, GEOM, 5, kernel, b,
+                              use_pallas=use_pallas, interpret=use_pallas,
+                              **kwargs)
+            return jnp.sum(c.astype(jnp.float32) ** 2) / c.size
+        return jax.jit(jax.grad(loss))
+
+    g_pl = np.asarray(loss_of(True)(w))
+    g_ad = np.asarray(loss_of(False)(w))
+    scale = np.abs(g_ad).max() + 1e-12
+    np.testing.assert_allclose(g_pl / scale, g_ad / scale,
+                               rtol=0, atol=4e-3)
+
+
 @pytest.mark.slow
 def test_affine_canvas_bf16_intkey_path(rng):
     """bf16 compute triggers the int-key cummax segmax; it must equal the
