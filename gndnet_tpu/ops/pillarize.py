@@ -693,15 +693,23 @@ def affine_canvas(
     local2d = local.reshape(b, n_per)
     if packed_gather_ok:
         key = local2d * idxcap + jnp.arange(n_per, dtype=jnp.int32)
-        skey = jax.lax.sort(key, dimension=-1)
+        # is_stable=False: jax.lax.sort DEFAULTS to stable, and XLA:TPU
+        # implements stability by adding a hidden iota operand + two-word
+        # comparator (~2x the sort time — the same cost the batched path's
+        # is_stable=False already avoids).  The packed key is unique, so
+        # the unstable sort is deterministic and identical.
+        skey = jax.lax.sort(key, dimension=-1, is_stable=False)
         local_s2 = skey // idxcap
         idx_s = skey - local_s2 * idxcap
         spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
     elif b == 1:
         iota = jnp.broadcast_to(
             jnp.arange(n_per, dtype=jnp.int32), (b, n_per))
+        # num_keys=2 + is_stable=False: the iota tiebreaker makes the
+        # order identical to a stable single-key sort, without the HIDDEN
+        # stability-iota operand XLA:TPU adds for is_stable=True
         local_s2, idx_s = jax.lax.sort(
-            (local2d, iota), num_keys=1, is_stable=True, dimension=-1)
+            (local2d, iota), num_keys=2, is_stable=False, dimension=-1)
         spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
     elif packed_fits:
         # batched: haul the feature columns as sort PAYLOAD (re-gathering
