@@ -697,8 +697,17 @@ def affine_canvas(
         # implements stability by adding a hidden iota operand + two-word
         # comparator (~2x the sort time — the same cost the batched path's
         # is_stable=False already avoids).  The packed key is unique, so
-        # the unstable sort is deterministic and identical.
-        skey = jax.lax.sort(key, dimension=-1, is_stable=False)
+        # the unstable sort is deterministic and identical.  On TPU the
+        # compiled path uses the in-VMEM bitonic kernel instead (948 ->
+        # 639 us standalone at flagship size incl. pow2 padding,
+        # ops/pallas_sort.py); CPU/interpret keeps the XLA sort (the
+        # 153-stage interpret unroll is minutes-slow, and the kernel is
+        # unit-tested at small n + covered on device by verify_tpu).
+        if use_pallas and not interpret and jax.default_backend() == "tpu":
+            from gndnet_tpu.ops.pallas_sort import sort_padded_i32
+            skey = sort_padded_i32(key.reshape(-1)).reshape(1, -1)
+        else:
+            skey = jax.lax.sort(key, dimension=-1, is_stable=False)
         local_s2 = skey // idxcap
         idx_s = skey - local_s2 * idxcap
         spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
