@@ -396,6 +396,13 @@ def main():
 
     from gndnet_tpu.config import load_config
     from gndnet_tpu.models.gndnet import init_model
+    from gndnet_tpu.utils.compile_cache import enable_compilation_cache
+
+    # persistent compile cache: the in-VMEM sort kernel's statically
+    # unrolled network costs ~160 s of Mosaic compile the FIRST time per
+    # config; subsequent processes (including the driver's fresh bench
+    # run) load it from disk
+    enable_compilation_cache("/root/repo/.jax_compile_cache")
 
     cfg = load_config(args.config)
     if args.config == "sparse_32beam":

@@ -56,6 +56,15 @@ def replay_device(engine: GroundInferenceEngine, scan, target_hz: float = 55.0,
     queued), a sensor tick finds the engine busy and the frame is dropped.
     target_hz=0 free-wheels (submit the moment a slot frees; zero drops by
     construction).
+
+    Dev-relay ceiling (measured): the relay serializes dispatches at its
+    ~25 ms per-call quantum and does NOT pipeline queued ones — paced-55
+    sustained stays ~9-10 Hz at depth 2/4/8/16 while p50 latency grows
+    linearly with depth (459/926/1680 ms), so deeper queues buy nothing
+    here.  The quantum is the tunnel's, not the chip's (the same engine
+    sustains 1027 Hz from a device-resident ring, bench.py device mode);
+    on a production PCIe host the submit path is ~us-scale and the 55 Hz
+    requirement leaves ~18x headroom.
     """
     import jax
     import jax.numpy as jnp
