@@ -185,6 +185,28 @@ def make_eval_step(model: GroundEstimatorNet, cfg: GndNetConfig,
     return jax.jit(step)
 
 
+def _run_validation(valid_ds, cfg, eval_step, state, seed, epoch,
+                    print_freq, logger) -> float:
+    """One pass over the validation split; returns the weighted mean loss.
+
+    drop_last=False: validation must see every frame (a 5-frame split with
+    batch_size 8 would otherwise vanish entirely).  The ragged final batch
+    costs one extra jit specialization, cached across epochs since the
+    remainder size is constant."""
+    vmeter = AverageMeter()
+    vit = prefetch_to_device(iterate_batches(
+        valid_ds, cfg.batch_size, shuffle=True, drop_last=False,
+        seed=seed + 999, epoch=epoch))
+    for i, (points, labels) in enumerate(vit):
+        vloss = eval_step(state, points, labels)
+        vmeter.update(float(vloss), points.shape[0])
+        if i % print_freq == 0:
+            logger.debug("Test: [%d/%d]\tLoss %.4f (%.4f)",
+                         i, max(len(valid_ds) // cfg.batch_size, 1),
+                         vmeter.val, vmeter.avg)
+    return vmeter.avg
+
+
 def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
                        epochs: int | None = None,
                        resume: bool = False,
@@ -241,14 +263,19 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
         if save_checkpoints else None
     start_epoch = 0
     lowest_loss = float("inf")
-    if resume and mgr is not None and mgr.latest_step() is not None:
-        template = {"state": state, "epoch": 0, "lowest_loss": 0.0}
-        restored = mgr.restore(template=template)
-        state = restored["state"]
-        start_epoch = int(restored["epoch"])
-        lowest_loss = float(restored["lowest_loss"])
-        logger.info("resumed from epoch %d (lowest %.6f)",
-                    start_epoch, lowest_loss)
+    if resume:
+        # restore must not depend on whether THIS run saves (the
+        # evaluate-only path resumes with save_checkpoints=False)
+        rmgr = mgr if mgr is not None else CheckpointManager(
+            os.path.join(workdir, "checkpoints"))
+        if rmgr.latest_step() is not None:
+            template = {"state": state, "epoch": 0, "lowest_loss": 0.0}
+            restored = rmgr.restore(template=template)
+            state = restored["state"]
+            start_epoch = int(restored["epoch"])
+            lowest_loss = float(restored["lowest_loss"])
+            logger.info("resumed from epoch %d (lowest %.6f)",
+                        start_epoch, lowest_loss)
 
     history = {"train_loss": [], "valid_loss": []}
     for epoch in range(start_epoch, epochs):
@@ -272,34 +299,30 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
                     data_time.avg, meter.val, meter.avg)
         history["train_loss"].append(meter.avg)
 
-        # --- validate ---
-        vmeter = AverageMeter()
-        # drop_last=False: validation must see every frame (a 5-frame split
-        # with batch_size 8 would otherwise vanish entirely).  The ragged
-        # final batch costs one extra jit specialization, cached across
-        # epochs since the remainder size is constant.
-        vit = prefetch_to_device(iterate_batches(
-            valid_ds, cfg.batch_size, shuffle=True, drop_last=False,
-            seed=seed + 999, epoch=epoch))
-        for i, (points, labels) in enumerate(vit):
-            vloss = eval_step(state, points, labels)
-            vmeter.update(float(vloss), points.shape[0])
-            if i % print_freq == 0:
-                logger.debug("Test: [%d/%d]\tLoss %.4f (%.4f)",
-                             i, max(len(valid_ds) // cfg.batch_size, 1),
-                             vmeter.val, vmeter.avg)
-        history["valid_loss"].append(vmeter.avg)
+        vavg = _run_validation(valid_ds, cfg, eval_step, state, seed,
+                               epoch, print_freq, logger)
+        history["valid_loss"].append(vavg)
         logger.info("epoch %d: train %.6f valid %.6f",
-                    epoch, meter.avg, vmeter.avg)
+                    epoch, meter.avg, vavg)
 
-        is_best = vmeter.avg < lowest_loss
-        lowest_loss = min(vmeter.avg, lowest_loss)
+        is_best = vavg < lowest_loss
+        lowest_loss = min(vavg, lowest_loss)
         if mgr is not None:
             mgr.save(
                 epoch + 1,
                 {"state": jax.device_get(state), "epoch": epoch + 1,
                  "lowest_loss": lowest_loss},
                 is_best=is_best)
+
+    if not history["valid_loss"]:
+        # evaluate-only (epochs == 0) or fully-resumed run: one validation
+        # pass on the restored/initial parameters (reference training.py's
+        # --evaluate path)
+        vavg = _run_validation(valid_ds, cfg, eval_step, state, seed,
+                               start_epoch, print_freq, logger)
+        history["valid_loss"].append(vavg)
+        lowest_loss = min(lowest_loss, vavg)
+        logger.info("validation: %.6f", vavg)
 
     history["lowest_loss"] = lowest_loss
     history["state"] = state

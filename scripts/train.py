@@ -85,7 +85,7 @@ def main():
             save_checkpoints=False, print_freq=args.print_freq,
             seed=args.seed, train_skip=args.train_skip,
             valid_skip=args.valid_skip, logger=logger)
-        logger.info("validation only: %s", hist)
+        logger.info("validation only: loss %.6f", hist["valid_loss"][-1])
         return
 
     hist = train_and_evaluate(
