@@ -56,7 +56,7 @@ def main():
                       flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--bwd" not in sys.argv:
     main()
 
 
