@@ -833,7 +833,69 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
     return scan_gather
 
 
-def histogram_ends(local_cells: jax.Array, ny: int, nx: int):
+def _hist_kernel(cells_ref, out_ref, *, ny: int, nx: int, chunk: int):
+    """One grid step: build the chunk's factored one-hots IN VMEM and
+    accumulate their (ny, nx) outer-product histogram on the MXU."""
+    step = pl.program_id(1)
+    c = cells_ref[...].reshape(1, chunk)            # (1, 1, 1, chunk) int32
+    q = c // nx
+    r = c - q * nx
+    yiota = jax.lax.broadcasted_iota(jnp.int32, (ny, chunk), 0)
+    xiota = jax.lax.broadcasted_iota(jnp.int32, (nx, chunk), 0)
+    ohq = (q == yiota).astype(jnp.bfloat16)         # drop rows: q == ny,
+    ohr = (r == xiota).astype(jnp.bfloat16)         # matches nothing
+    acc = jax.lax.dot_general(ohq, ohr, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(step == 0)
+    def _init():
+        out_ref[0] = acc
+
+    @pl.when(step != 0)
+    def _accum():
+        out_ref[0] += acc
+
+
+def histogram_counts_pallas(local_cells: jax.Array, ny: int, nx: int, *,
+                            chunk: int = 2048,
+                            interpret: bool = False) -> jax.Array:
+    """(B, ny, nx) f32 per-item cell-count histogram, one-hots never
+    leaving VMEM.
+
+    The XLA form below materializes both (B, Np, ny|nx) bf16 one-hots in
+    HBM — ~205 MB of traffic at fine_grid scale (Np=102400, ny=nx=250),
+    measured 352 us in-situ vs ~33 us of MXU math.  This kernel streams
+    (1, chunk) cell-id rows, builds the (ny|nx, chunk) one-hot tiles in
+    VMEM, and accumulates the counts on the MXU across a sequential grid.
+    Exact: 0/1 bf16 operands with f32 accumulation, counts << 2^24.
+    """
+    b, n = local_cells.shape
+    pad = (-n) % chunk
+    if pad:
+        # drop id ny*nx: its q == ny falls outside the one-hot -> zero row
+        local_cells = jnp.pad(local_cells, ((0, 0), (0, pad)),
+                              constant_values=ny * nx)
+    steps = local_cells.shape[1] // chunk
+    # explicit singleton sublane dim: Mosaic requires the block's last two
+    # dims be (8k, 128k) or EQUAL to the array's — (1, chunk) blocks on a
+    # (B, Np) array violate that for B > 1, so block over (B, steps, 1,
+    # chunk) where (1, chunk) == the array's own trailing dims.
+    cells4 = local_cells.reshape(b, steps, 1, chunk)
+    kernel = functools.partial(_hist_kernel, ny=ny, nx=nx, chunk=chunk)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, steps),
+        in_specs=[pl.BlockSpec((1, 1, 1, chunk), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, ny, nx), lambda i, j: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, ny, nx), jnp.float32),
+        interpret=interpret,
+    )(cells4)
+
+
+def histogram_ends(local_cells: jax.Array, ny: int, nx: int, *,
+                   use_pallas: bool = False, interpret: bool = False):
     """Per-item run-END index per cell via factored one-hot histogram
     matmuls.
 
@@ -844,6 +906,11 @@ def histogram_ends(local_cells: jax.Array, ny: int, nx: int):
     wide) and r = c % nx (nx wide), so the cost stays LINEAR in batch size
     (a flat batched cell space would need a B*ny-wide one-hot).
 
+    With use_pallas=True the counts come from `histogram_counts_pallas`
+    (identical values; the one-hots stay in VMEM) — a win once ny/nx are
+    large enough that the XLA form's HBM one-hot materialization dominates
+    (fine_grid's 250-wide grid: 352 -> ~100 us).
+
     Args:
       local_cells: (B, Np) int32 per-item sorted LOCAL cell ids; drop/pad
         rows carry ny*nx (their q == ny falls outside the one-hot).
@@ -853,14 +920,18 @@ def histogram_ends(local_cells: jax.Array, ny: int, nx: int):
     points have counts_raw == 0 (their `ends` value is meaningless and must
     be masked by the caller).
     """
-    q = (local_cells // nx).astype(jnp.int32)
-    r = (local_cells - q * nx).astype(jnp.int32)
-    ohq = (q[..., None] == jnp.arange(ny, dtype=jnp.int32)
-           ).astype(jnp.bfloat16)
-    ohr = (r[..., None] == jnp.arange(nx, dtype=jnp.int32)
-           ).astype(jnp.bfloat16)
-    counts = jnp.einsum("bpy,bpx->byx", ohq, ohr,
-                        preferred_element_type=jnp.float32)
+    if use_pallas:
+        counts = histogram_counts_pallas(local_cells, ny, nx,
+                                         interpret=interpret)
+    else:
+        q = (local_cells // nx).astype(jnp.int32)
+        r = (local_cells - q * nx).astype(jnp.int32)
+        ohq = (q[..., None] == jnp.arange(ny, dtype=jnp.int32)
+               ).astype(jnp.bfloat16)
+        ohr = (r[..., None] == jnp.arange(nx, dtype=jnp.int32)
+               ).astype(jnp.bfloat16)
+        counts = jnp.einsum("bpy,bpx->byx", ohq, ohr,
+                            preferred_element_type=jnp.float32)
     counts = counts.reshape(local_cells.shape[0], -1).astype(jnp.int32)
     ends = jnp.cumsum(counts, axis=-1) - 1
     return jnp.maximum(ends, 0), counts

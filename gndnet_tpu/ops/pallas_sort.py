@@ -110,6 +110,99 @@ def _sort_kernel_static(x_ref, out_ref, *, rows: int, n: int):
     out_ref[...] = x
 
 
+def _sort2_kernel_static(hi_ref, lo_ref, hi_out, lo_out, *, rows: int,
+                         n: int):
+    """Two-word lexicographic variant of `_sort_kernel_static`: sorts
+    (hi, lo) int32 pairs ascending by (hi, then lo).  When `lo` is unique
+    (the call sites pass a stream iota) every comparison is tie-free, so
+    the unstable network reproduces exactly the stable-by-hi order —
+    this is the in-VMEM replacement for the (cell, iota) two-operand XLA
+    fallback that oversized grids (fine_grid's 62501 cells, pillarize.py)
+    take when (cell, iota) cannot pack into one int32 word."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    gidx = row * 128 + lane
+    hi = hi_ref[...]
+    lo = lo_ref[...]
+    for kbit, d in _schedule(n):
+        kbit, d = int(kbit), int(d)
+        if d < 128:
+            sel = (lane & d) == 0
+            phi = jnp.where(sel, pltpu.roll(hi, shift=(128 - d) % 128,
+                                            axis=1),
+                            pltpu.roll(hi, shift=d, axis=1))
+            plo = jnp.where(sel, pltpu.roll(lo, shift=(128 - d) % 128,
+                                            axis=1),
+                            pltpu.roll(lo, shift=d, axis=1))
+        else:
+            e = d // 128
+            sel = (row & e) == 0
+            phi = jnp.where(sel, pltpu.roll(hi, shift=(rows - e) % rows,
+                                            axis=0),
+                            pltpu.roll(hi, shift=e, axis=0))
+            plo = jnp.where(sel, pltpu.roll(lo, shift=(rows - e) % rows,
+                                            axis=0),
+                            pltpu.roll(lo, shift=e, axis=0))
+        take_min = ((gidx & d) == 0) == ((gidx & kbit) == 0)
+        self_lt = (hi < phi) | ((hi == phi) & (lo < plo))
+        keep = take_min == self_lt
+        hi = jnp.where(keep, hi, phi)
+        lo = jnp.where(keep, lo, plo)
+    hi_out[...] = hi
+    lo_out[...] = lo
+
+
+def _sort2_kernel(sched_ref, hi_ref, lo_ref, hi_out, lo_out, *, rows: int,
+                  num_stages: int):
+    """Dynamic-schedule two-word variant (compile-time-bounded fallback,
+    like `_sort_kernel`)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+    gidx = row * 128 + lane
+
+    def stage(s, carry):
+        hi, lo = carry
+        kbit = sched_ref[s, 0]
+        d = sched_ref[s, 1]
+
+        def lane_exchange(hi, lo):
+            sel = (lane & d) == 0
+            phi = jnp.where(sel,
+                            pltpu.roll(hi, shift=jnp.mod(128 - d, 128),
+                                       axis=1),
+                            pltpu.roll(hi, shift=d, axis=1))
+            plo = jnp.where(sel,
+                            pltpu.roll(lo, shift=jnp.mod(128 - d, 128),
+                                       axis=1),
+                            pltpu.roll(lo, shift=d, axis=1))
+            return phi, plo
+
+        def row_exchange(hi, lo):
+            e = d // 128
+            sel = (row & e) == 0
+            phi = jnp.where(sel,
+                            pltpu.roll(hi, shift=jnp.mod(rows - e, rows),
+                                       axis=0),
+                            pltpu.roll(hi, shift=e, axis=0))
+            plo = jnp.where(sel,
+                            pltpu.roll(lo, shift=jnp.mod(rows - e, rows),
+                                       axis=0),
+                            pltpu.roll(lo, shift=e, axis=0))
+            return phi, plo
+
+        phi, plo = jax.lax.cond(d < 128, lane_exchange, row_exchange,
+                                hi, lo)
+        take_min = ((gidx & d) == 0) == ((gidx & kbit) == 0)
+        self_lt = (hi < phi) | ((hi == phi) & (lo < plo))
+        keep = take_min == self_lt
+        return (jnp.where(keep, hi, phi), jnp.where(keep, lo, plo))
+
+    hi, lo = jax.lax.fori_loop(0, num_stages, stage,
+                               (hi_ref[...], lo_ref[...]))
+    hi_out[...] = hi
+    lo_out[...] = lo
+
+
 def bitonic_sort_i32(x: jax.Array, *, static: bool = True,
                      interpret: bool = False) -> jax.Array:
     """Ascending in-VMEM sort of (n,) int32, n a power of two >= 256."""
@@ -157,3 +250,58 @@ def sort_padded_i32(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     pad = jnp.full((m - n,), jnp.iinfo(jnp.int32).max, jnp.int32)
     return bitonic_sort_i32(jnp.concatenate([x, pad]),
                             interpret=interpret)[:n]
+
+
+def bitonic_sort2_i32(hi: jax.Array, lo: jax.Array, *, static: bool = True,
+                      interpret: bool = False):
+    """Ascending lexicographic in-VMEM sort of (n,) int32 (hi, lo) pairs,
+    n a power of two >= 256.  With a unique `lo` (stream iota) the order
+    equals `jax.lax.sort((hi, lo), num_keys=2)` exactly."""
+    n = hi.shape[0]
+    if n & (n - 1) or n < 256:
+        raise ValueError(f"n={n} must be a power of two >= 256")
+    if lo.shape != hi.shape:
+        raise ValueError(f"shape mismatch: {hi.shape} vs {lo.shape}")
+    rows = n // 128
+
+    blk = pl.BlockSpec((rows, 128), lambda i: (0, 0),
+                       memory_space=pltpu.VMEM)
+    if static:
+        kernel = functools.partial(_sort2_kernel_static, rows=rows, n=n)
+        in_specs = [blk, blk]
+        args = (hi.reshape(rows, 128), lo.reshape(rows, 128))
+    else:
+        sched = _schedule(n)
+        kernel = functools.partial(_sort2_kernel, rows=rows,
+                                   num_stages=len(sched))
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
+        args = (jnp.asarray(sched), hi.reshape(rows, 128),
+                lo.reshape(rows, 128))
+
+    hi_s, lo_s = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=(blk, blk),
+        out_shape=(jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                   jax.ShapeDtypeStruct((rows, 128), jnp.int32)),
+        interpret=interpret,
+    )(*args)
+    return hi_s.reshape(n), lo_s.reshape(n)
+
+
+def sort2_padded_i32(hi: jax.Array, lo: jax.Array, *, static: bool = True,
+                     interpret: bool = False):
+    """Lexicographic (hi, lo) sort for arbitrary n: pads both words with
+    INT32_MAX sentinels (all real `hi` keys must be smaller; padded pairs
+    tie only among themselves, where the exchange is value-neutral) and
+    returns the first n pairs."""
+    n = hi.shape[0]
+    m = 1 << max(n - 1, 1).bit_length()
+    if m == n:
+        return bitonic_sort2_i32(hi, lo, static=static, interpret=interpret)
+    pad = jnp.full((m - n,), jnp.iinfo(jnp.int32).max, jnp.int32)
+    hi_s, lo_s = bitonic_sort2_i32(jnp.concatenate([hi, pad]),
+                                   jnp.concatenate([lo, pad]),
+                                   static=static, interpret=interpret)
+    return hi_s[:n], lo_s[:n]

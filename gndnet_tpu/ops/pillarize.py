@@ -716,7 +716,12 @@ def affine_canvas(
             jnp.arange(n_per, dtype=jnp.int32), (b, n_per))
         # num_keys=2 + is_stable=False: the iota tiebreaker makes the
         # order identical to a stable single-key sort, without the HIDDEN
-        # stability-iota operand XLA:TPU adds for is_stable=True
+        # stability-iota operand XLA:TPU adds for is_stable=True.
+        # A two-word in-VMEM bitonic kernel (pallas_sort.sort2_padded_i32)
+        # measured a TIE with this sort (680 vs 668 us standalone at 100k,
+        # scripts/probe_sort2.py) at 116 s of Mosaic compile — the doubled
+        # per-stage roll/select work eats the VMEM-residency win, so the
+        # XLA fallback stays.
         local_s2, idx_s = jax.lax.sort(
             (local2d, iota), num_keys=2, is_stable=False, dimension=-1)
         spts2d = jnp.take_along_axis(pts2d, idx_s[..., None], axis=1)
@@ -793,7 +798,16 @@ def affine_canvas(
         mmat_t = mmat.T                                   # (C, A)
         from gndnet_tpu.ops.pallas_affine import _make_scan_gather
 
-        ends_local, counts_raw = histogram_ends(local_s, geom.ny, geom.nx)
+        # in-VMEM histogram only where it wins: B=1 with a LARGE grid —
+        # the XLA einsum materializes (B, Np, ny|nx) bf16 one-hots in HBM
+        # (~205 MB at fine_grid scale, 391 us measured vs 101 us pallas),
+        # but at kitti's 100x100 it stays ahead (29 vs 46 us) and at B=16
+        # the one big einsum beats the serialized (b, steps) kernel grid
+        # (scripts/probe_hist.py on a v5e)
+        hist_pallas = b == 1 and geom.ny * geom.nx > 16384
+        ends_local, counts_raw = histogram_ends(
+            local_s, geom.ny, geom.nx, use_pallas=hist_pallas,
+            interpret=interpret)
         starts_local = ends_local - counts_raw + 1
         if exact_point_cap:
             # the kernel's shortened scan window only completes rows within

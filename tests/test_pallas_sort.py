@@ -13,7 +13,8 @@ jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
 from gndnet_tpu.ops.pallas_sort import (_schedule, bitonic_sort_i32,  # noqa: E402,E501
-                                        sort_padded_i32)
+                                        bitonic_sort2_i32, sort_padded_i32,
+                                        sort2_padded_i32)
 
 
 @pytest.fixture
@@ -52,6 +53,52 @@ def test_schedule_shape():
     assert s.shape == (55, 2)
     assert int(s[-1, 1]) == 1              # final pass ends at distance 1
     assert int(s[-1, 0]) == 1024           # full-array ascending block
+
+
+@pytest.mark.parametrize("n", [256, 2048])
+@pytest.mark.parametrize("static", [True, False])
+def test_bitonic2_matches_lexsort(rng, n, static):
+    """(hi, lo) lexicographic sort == np.lexsort; duplicate-heavy hi with
+    a unique lo iota (the call site's key structure)."""
+    hi = rng.integers(0, 63, n).astype(np.int32)
+    lo = np.arange(n, dtype=np.int32)
+    rng.shuffle(lo)
+    hi_s, lo_s = bitonic_sort2_i32(jnp.asarray(hi), jnp.asarray(lo),
+                                   static=static, interpret=True)
+    order = np.lexsort((lo, hi))
+    np.testing.assert_array_equal(np.asarray(hi_s), hi[order])
+    np.testing.assert_array_equal(np.asarray(lo_s), lo[order])
+
+
+def test_bitonic2_extremes(rng):
+    """hi spanning the full int32 range (incl. the INT32_MAX padding
+    sentinel value appearing among REAL keys) still sorts correctly."""
+    n = 1024
+    hi = np.concatenate([
+        rng.integers(-2**31, 2**31 - 1, n - 6),
+        np.full(3, np.iinfo(np.int32).max),
+        np.full(3, np.iinfo(np.int32).min),
+    ]).astype(np.int32)
+    lo = np.arange(n, dtype=np.int32)
+    hi_s, lo_s = bitonic_sort2_i32(jnp.asarray(hi), jnp.asarray(lo),
+                                   interpret=True)
+    order = np.lexsort((lo, hi))
+    np.testing.assert_array_equal(np.asarray(hi_s), hi[order])
+    np.testing.assert_array_equal(np.asarray(lo_s), lo[order])
+
+
+def test_sort2_padded_non_pow2(rng):
+    """Padded entry point at the call-site key structure: hi = cell id in
+    [0, 62501] (fine_grid's range), lo = stream iota, non-pow2 n.  Must
+    equal the XLA (cell, iota) num_keys=2 sort it replaces."""
+    n, c3 = 3000, 62501
+    hi = rng.integers(0, c3 + 1, n).astype(np.int32)
+    lo = np.arange(n, dtype=np.int32)
+    hi_s, lo_s = sort2_padded_i32(jnp.asarray(hi), jnp.asarray(lo),
+                                  interpret=True)
+    order = np.lexsort((lo, hi))
+    np.testing.assert_array_equal(np.asarray(hi_s), hi[order])
+    np.testing.assert_array_equal(np.asarray(lo_s), lo[order])
 
 
 def test_sorted_stream_semantics_with_packed_keys(rng):

@@ -560,15 +560,21 @@ def test_affine_pallas_kernel_matches_xla_scan_path(rng):
                                    rtol=1e-5, atol=1e-6)
 
 
-def test_affine_pallas_histogram_ends(rng):
-    """histogram_ends == searchsorted(right)-1 per item, batched."""
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_affine_pallas_histogram_ends(rng, use_pallas):
+    """histogram_ends == searchsorted(right)-1 per item, batched; the
+    pallas in-VMEM counts kernel must match the XLA einsum exactly
+    (0/1 bf16 operands, f32 accumulation — both are exact integer
+    arithmetic)."""
     from gndnet_tpu.ops.pallas_affine import histogram_ends
 
     ny, nx, b = 8, 8, 3
     ncells = ny * nx
     cell = np.sort(rng.integers(0, ncells + 1, (b, 3000)), axis=-1
                    ).astype(np.int32)
-    ends, counts = histogram_ends(jnp.asarray(cell), ny, nx)
+    ends, counts = histogram_ends(jnp.asarray(cell), ny, nx,
+                                  use_pallas=use_pallas,
+                                  interpret=use_pallas)
     for i in range(b):
         ref_ends = np.searchsorted(cell[i], np.arange(ncells),
                                    side="right") - 1
@@ -577,6 +583,31 @@ def test_affine_pallas_histogram_ends(rng):
         occupied = ref_counts > 0
         np.testing.assert_array_equal(np.asarray(ends)[i][occupied],
                                       ref_ends[occupied])
+
+
+def test_affine_large_grid_uses_pallas_histogram(rng):
+    """A >16384-cell geometry at B=1 routes histogram_ends through the
+    in-VMEM pallas counts kernel (the fine_grid dispatch heuristic in
+    affine_canvas); the canvas must still match the XLA scan path."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    geom = PillarGeometry(
+        pc_range=(0.0, 0.0, -4.0, 13.0, 13.0, 4.0),
+        voxel_size=(0.1, 0.1, 8.0),
+        grid_size=(130, 130, 1),
+    )
+    assert geom.ny * geom.nx > 16384
+    pts = np.stack([make_cloud(rng, n=1500, lo=(-1, -1, -5),
+                               hi=(14, 14, 5))])
+    ctx = bin_points_batch(jnp.asarray(pts), geom)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+    ref = affine_canvas(flat, ctx, geom, 5, w, b, use_pallas=False)
+    out = affine_canvas(flat, ctx, geom, 5, w, b, use_pallas=True,
+                        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
 
 
 def test_affine_pallas_three_feature_points(rng):
