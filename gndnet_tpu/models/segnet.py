@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from gndnet_tpu.ops.pallas_conv import conv3x3, conv3x3_supported
 from gndnet_tpu.ops.pooling import max_pool_argmax, max_unpool
 
 
@@ -82,6 +83,66 @@ class SegnetUp2(nn.Module):
         return x
 
 
+def _cbr_eval(p, s, x, interpret):
+    """ConvBNRelu eval via the VMEM conv kernel: fold the eval BatchNorm
+    into the conv epilogue (`mul = gamma*rsqrt(var+eps)`, flax eps 1e-5),
+    preserving the flax rounding points (pallas_conv docstring)."""
+    mul = p["bn"]["scale"] * jax.lax.rsqrt(s["bn"]["var"] + 1e-5)
+    shift = p["bn"]["bias"] - s["bn"]["mean"] * mul
+    # f32 output mirrors the flax path (eval BatchNorm emits f32 into the
+    # argmax pooling, whose tie-breaks routing must match)
+    return conv3x3(x, p["conv"]["kernel"], p["conv"]["bias"],
+                   bn_mul=mul, bn_shift=shift, relu=True,
+                   out_dtype=jnp.float32, interpret=interpret)
+
+
+def segnet_stage_shapes(h: int, w: int, in_channels: int):
+    """(h, w, cin, cout) of every conv in SegnetGndEst's 9-conv stack."""
+    h2, w2 = -(-h // 2), -(-w // 2)
+    return [(h, w, in_channels, 128), (h, w, 128, 128),
+            (h2, w2, 128, 256), (h2, w2, 256, 256),
+            (h2, w2, 256, 256), (h2, w2, 256, 128),
+            (h, w, 128, 128), (h, w, 128, 64), (h, w, 64, 1)]
+
+
+def fused_segnet_supported(h: int, w: int, in_channels: int) -> bool:
+    return all(conv3x3_supported(*s, out_f32=True)
+               for s in segnet_stage_shapes(h, w, in_channels))
+
+
+def fused_segnet_eval(params, batch_stats, x, *,
+                      interpret: bool = False) -> jax.Array:
+    """Functional serving twin of `SegnetGndEst.__call__(train=False)`:
+    the nine convs run as VMEM-resident pallas kernels with bias + eval-BN
+    + ReLU folded into their epilogues; pool/unpool stay the shared
+    `ops.pooling` routes.  `params`/`batch_stats` are SegnetGndEst's own
+    variable subtrees (the module dispatches here itself when eligible)."""
+
+    def down(name, x):
+        p, s = params[name], batch_stats[name]
+        x = _cbr_eval(p["conv1"], s["conv1"], x, interpret)
+        x = _cbr_eval(p["conv2"], s["conv2"], x, interpret)
+        hw = x.shape[1:3]
+        pooled, idx = max_pool_argmax(x)
+        return pooled, idx, hw
+
+    def up(name, x, idx, out_hw):
+        x = max_unpool(x, idx, out_hw)
+        p, s = params[name], batch_stats[name]
+        x = _cbr_eval(p["conv1"], s["conv1"], x, interpret)
+        x = _cbr_eval(p["conv2"], s["conv2"], x, interpret)
+        return x
+
+    d1, i1, hw1 = down("down1", x.astype(jnp.bfloat16))
+    d2, i2, hw2 = down("down2", d1)
+    u2 = up("up2", d2, i2, hw2)
+    u1 = up("up1", u2, i1, hw1)
+    rp = params["regressor"]
+    pred = conv3x3(u1, rp["kernel"], rp["bias"], out_dtype=jnp.float32,
+                   interpret=interpret)
+    return pred
+
+
 class SegnetGndEst(nn.Module):
     """The full elevation head (reference modules/segnet.py:118-142):
     in->128 -> 128->256 -> unpool 256->128 -> unpool 128->64 -> 1."""
@@ -90,9 +151,18 @@ class SegnetGndEst(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     bn_axis: str | None = None
+    use_pallas_conv: bool = True   # serving fast path (eval, bf16, B=1, TPU)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if (self.use_pallas_conv and not train and not self.is_initializing()
+                and self.dtype == jnp.bfloat16 and x.shape[0] == 1
+                and jax.default_backend() == "tpu"
+                and "batch_stats" in self.variables
+                and fused_segnet_supported(x.shape[1], x.shape[2],
+                                           x.shape[3])):
+            return fused_segnet_eval(self.variables["params"],
+                                     self.variables["batch_stats"], x)
         down1, idx1, hw1 = SegnetDown2(128, self.dtype, self.precision,
                                        self.bn_axis, name="down1")(x, train)
         down2, idx2, hw2 = SegnetDown2(256, self.dtype, self.precision,

@@ -1,0 +1,153 @@
+"""VMEM-resident 3x3 SAME conv for the SegNet stages (serving bf16).
+
+XLA's `conv_general_dilated` is the best XLA-expressible schedule at the
+model's small-spatial B=1 shapes (scripts/probe_conv.py), but it still
+streams the activation through HBM once per op.  At (1, 100, 100, C) the
+whole activation fits VMEM outright, so this kernel runs the conv as nine
+accumulating MXU dots over statically-offset row slices of a flattened
+image (reference conv stages: modules/segnet.py:118-142):
+
+* NHWC (1, H, W, Cin) flattens to (H*W, Cin) and gets W+1 zero rows of
+  padding on each side, so tap (dy, dx) of the 3x3 stencil is the SINGLE
+  global row offset `dy*W + dx` — vertical edge contributions land in the
+  zero padding and vanish on their own, and only two lane-free masks
+  remain (w == 0 rows for dx=0 taps, w == W-1 rows for dx=2), built once
+  from a row iota.
+* Each tap: `acc(HW, Cout) += masked_slice(HW, Cin) @ K[dy*3+dx]` on the
+  MXU with float32 accumulation (exactly XLA conv's accumulation dtype).
+* The epilogue reproduces the flax ConvBNRelu eval sequence including its
+  rounding points: bf16(conv) + bf16(bias) in bf16, then the f32
+  eval-BatchNorm affine `(z - mean)*mul + beta` folded to `z*mul + shift`,
+  optional ReLU, one bf16 cast.  XLA fuses bias/BN/relu into its conv for
+  free; folding them here preserves that.
+
+Scope: single-item bf16 inference at images that fit the VMEM budget
+(`conv3x3_supported`).  Training and f32/'highest' parity mode keep the
+XLA conv (the parity contract pins the f32 path bit-stable), as do
+oversized grids (fine_grid's 250x250 encoder stages).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# leave headroom under the ~16 MB/core VMEM for Mosaic temporaries
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def conv3x3_supported(h: int, w: int, cin: int, cout: int,
+                      out_f32: bool = False) -> bool:
+    """True when the single-block kernel fits the VMEM budget."""
+    hw = h * w
+    rows = hw + 2 * (w + 1)
+    rows_pad = -(-rows // 16) * 16
+    cin_l = max(cin, 128)     # lane padding: bf16 tiles are (16, 128)
+    cout_l = max(cout, 128)
+    # f32 output doubles the out buffer but IS the accumulator; bf16
+    # output adds a separate f32 accumulator beside it
+    out_bytes = hw * cout_l * (4 if out_f32 else 4 + 2)
+    need = (rows_pad * cin_l * 2          # padded input, bf16
+            + out_bytes
+            + 9 * cin * cout * 2)         # weights
+    return need <= _VMEM_BUDGET
+
+
+def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, h: int, w: int,
+                 cout: int, relu: bool):
+    hw = h * w
+    iota = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    wmod = iota - (iota // w) * w
+    m_left = wmod != 0                    # dx = 0 taps invalid at w == 0
+    m_right = wmod != w - 1               # dx = 2 taps invalid at w == W-1
+    f32_out = out_ref.dtype == jnp.float32
+    if f32_out:
+        # f32 output: the out ref IS the accumulator (a separate f32 acc
+        # would put ~13 MB of live buffers in VMEM at (10000, 128->128))
+        out_ref[...] = jnp.zeros((hw, cout), jnp.float32)
+    acc = None if f32_out else jnp.zeros((hw, cout), jnp.float32)
+    for dy in range(3):
+        for dx in range(3):
+            xs = x_ref[dy * w + dx:dy * w + dx + hw, :]
+            if dx == 0:
+                xs = jnp.where(m_left, xs, jnp.bfloat16(0))
+            elif dx == 2:
+                xs = jnp.where(m_right, xs, jnp.bfloat16(0))
+            part = jax.lax.dot_general(
+                xs, k_ref[3 * dy + dx],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if f32_out:
+                out_ref[...] += part
+            else:
+                acc += part
+    if f32_out:
+        acc = out_ref[...]
+    # flax rounding points: bf16 conv output, bf16 bias add, f32 BN affine.
+    # reduce_precision, not dtype casts: XLA elides f32->bf16->f32 convert
+    # chains around arithmetic, silently skipping the rounding.
+    def rp(t):
+        return jax.lax.reduce_precision(t, 8, 7)
+
+    z = rp(rp(acc) + rp(aff_ref[0:1, :]))
+    y = z * aff_ref[1:2, :] + aff_ref[2:3, :]
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    out_ref[...] = y.astype(out_ref.dtype)
+
+
+def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
+            bn_mul: jax.Array | None = None,
+            bn_shift: jax.Array | None = None,
+            relu: bool = False,
+            out_dtype=jnp.bfloat16,
+            interpret: bool = False) -> jax.Array:
+    """3x3 SAME stride-1 conv + bias + folded eval-BN affine (+ ReLU).
+
+    Computes `relu((bf16(conv(x)) + bf16(bias)) * bn_mul + bn_shift)` with
+    the same rounding points as nn.Conv(dtype=bf16) -> nn.BatchNorm(eval,
+    f32) -> relu.  Fold the BN as `bn_mul = gamma * rsqrt(var + eps)`,
+    `bn_shift = beta - mean * bn_mul`.
+
+    Args:
+      x: (1, H, W, Cin); cast to bfloat16 (the conv compute dtype).
+      kernel: (3, 3, Cin, Cout) HWIO, cast to bfloat16.
+      bias: (Cout,) conv bias (added in bf16, like flax).
+      bn_mul, bn_shift: per-channel f32 affine; defaults 1 / 0 (plain conv).
+      relu: apply max(y, 0) before the output cast.
+      out_dtype: bfloat16 (serving chains) or float32 (mirrors the flax
+        path, whose eval BatchNorm emits f32 into pooling).
+    Returns (1, H, W, Cout) in `out_dtype`.
+    """
+    b, h, w, cin = x.shape
+    kh, kw, kcin, cout = kernel.shape
+    if b != 1 or (kh, kw) != (3, 3) or kcin != cin:
+        raise ValueError(f"unsupported shapes x={x.shape} k={kernel.shape}")
+    hw = h * w
+    lead = w + 1
+    rows_pad = -(-(hw + 2 * lead) // 16) * 16
+
+    xf = x.astype(jnp.bfloat16).reshape(hw, cin)
+    xp = jnp.pad(xf, ((lead, rows_pad - hw - lead), (0, 0)))
+    kf = kernel.astype(jnp.bfloat16).reshape(9, cin, cout)
+    one = jnp.ones((cout,), jnp.float32)
+    zero = jnp.zeros((cout,), jnp.float32)
+    aff = jnp.stack([bias.astype(jnp.float32),
+                     one if bn_mul is None else bn_mul.astype(jnp.float32),
+                     zero if bn_shift is None
+                     else bn_shift.astype(jnp.float32)])
+
+    y = pl.pallas_call(
+        functools.partial(_conv_kernel, h=h, w=w, cout=cout, relu=relu),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hw, cout), jnp.dtype(out_dtype)),
+        interpret=interpret,
+    )(xp, kf, aff)
+    return y.reshape(1, h, w, cout)

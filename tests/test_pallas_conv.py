@@ -1,0 +1,111 @@
+"""VMEM-resident 3x3 conv kernel (ops/pallas_conv.py) and the fused
+SegNet serving twin (models/segnet.fused_segnet_eval), interpret mode.
+
+The kernel's contract is flax-rounding-point parity with
+nn.Conv(dtype=bf16) [+ eval nn.BatchNorm(f32) + relu], so every check
+compares against that exact op sequence, not a pure-f32 conv.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from gndnet_tpu.models.segnet import (SegnetGndEst,  # noqa: E402
+                                      fused_segnet_eval,
+                                      fused_segnet_supported)
+from gndnet_tpu.ops.pallas_conv import conv3x3, conv3x3_supported  # noqa: E402,E501
+
+DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _flax_ref(x, k, bias, mul=None, shift=None, relu=False):
+    """nn.Conv(dtype=bf16) -> optional eval-BN affine (f32) -> relu."""
+    z = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), k.astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=DN)
+    z = z + bias.astype(jnp.bfloat16)
+    y = z.astype(jnp.float32)
+    if mul is not None:
+        y = y * mul + shift
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [(10, 13, 8, 16), (7, 9, 16, 8),
+                                          (12, 12, 8, 1)])
+def test_conv3x3_matches_flax_sequence(rng, h, w, cin, cout):
+    x = jnp.asarray(rng.normal(size=(1, h, w, cin)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, cin, cout)) * 0.2
+                     ).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = _flax_ref(x, k, bias)
+    got = conv3x3(x, k, bias, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_conv3x3_bn_relu_epilogue(rng):
+    h, w, cin, cout = 11, 10, 8, 24
+    x = jnp.asarray(rng.normal(size=(1, h, w, cin)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, cin, cout)) * 0.2
+                     ).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    mul = jnp.asarray((1.0 + rng.random(cout)).astype(np.float32))
+    shift = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = _flax_ref(x, k, bias, mul, shift, relu=True)
+    got = conv3x3(x, k, bias, bn_mul=mul, bn_shift=shift, relu=True,
+                  out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # bf16 output path rounds the same f32 values
+    got16 = conv3x3(x, k, bias, bn_mul=mul, bn_shift=shift, relu=True,
+                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got16, np.float32),
+                               np.asarray(ref), rtol=1e-2, atol=1e-2)
+
+
+def test_supported_budget():
+    assert conv3x3_supported(100, 100, 128, 128, out_f32=True)
+    assert not conv3x3_supported(250, 250, 64, 128, out_f32=True)
+    assert fused_segnet_supported(100, 100, 64)
+    assert not fused_segnet_supported(250, 250, 64)
+
+
+def test_fused_segnet_eval_matches_flax(rng):
+    """The pallas serving twin == SegnetGndEst.apply(train=False) at
+    bf16, including pooling argmax routing (f32 inter-stage chaining)."""
+    h = w = 12
+    model = SegnetGndEst(in_channels=64, dtype=jnp.bfloat16,
+                         precision="default")
+    x = jnp.asarray(rng.normal(size=(1, h, w, 64)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    # nontrivial running stats (fresh init is mean 0 / var 1 everywhere)
+    stats = jax.tree.map(
+        lambda a: a + jnp.asarray(
+            rng.normal(size=a.shape).astype(np.float32)) * 0.05,
+        variables["batch_stats"])
+    variables = {"params": variables["params"], "batch_stats": stats}
+    ref, mods = model.apply(variables, x, train=False,
+                            capture_intermediates=True)
+    got = fused_segnet_eval(variables["params"], variables["batch_stats"],
+                            x, interpret=True)
+    assert got.dtype == jnp.float32 and got.shape == ref.shape
+    # stage-level parity is ~1e-7 (see the tight pin below); the full
+    # stack amplifies that by the untrained random conv gain (~x6600
+    # measured in scripts/probe_segnet.py), so the end-to-end pin is
+    # loose — it catches wiring/routing errors, which are O(1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=5e-2, atol=2e-2)
+    from gndnet_tpu.models.segnet import _cbr_eval
+    ref1 = mods["intermediates"]["down1"]["conv1"]["__call__"][0]
+    got1 = _cbr_eval(variables["params"]["down1"]["conv1"],
+                     variables["batch_stats"]["down1"]["conv1"],
+                     x.astype(jnp.bfloat16), True)
+    # rtol = one bf16 ULP: the kernel's 9-tap f32 accumulation order can
+    # flip the conv output's bf16 rounding on a handful of boundary-tied
+    # elements (a few per 10k); everything else matches to f32 rounding
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1, np.float32),
+                               rtol=1e-2, atol=1e-6)
