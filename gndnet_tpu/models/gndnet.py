@@ -36,6 +36,7 @@ from gndnet_tpu.ops.scatter import scatter_pillars_to_canvas
 class GroundEstimatorNet(nn.Module):
     cfg: GndNetConfig
     bn_axis: str | None = None   # mesh axis name for sync-BN under shard_map
+    use_pallas_conv: bool = True  # SegNet VMEM conv twin (eval bf16 B=1 TPU)
 
     def setup(self):
         self.geom = pz.PillarGeometry.from_config(self.cfg)
@@ -52,6 +53,7 @@ class GroundEstimatorNet(nn.Module):
             dtype=dtype,
             precision=self.cfg.matmul_precision,
             bn_axis=self.bn_axis,
+            use_pallas_conv=self.use_pallas_conv,
             name="encoder_decoder",
         )
 
