@@ -68,11 +68,11 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, h: int, w: int,
     if f32_out:
         # f32 output: the out ref IS the accumulator (a separate f32 acc
         # would put ~13 MB of live buffers in VMEM at (10000, 128->128))
-        out_ref[...] = jnp.zeros((hw, cout), jnp.float32)
+        out_ref[0] = jnp.zeros((hw, cout), jnp.float32)
     acc = None if f32_out else jnp.zeros((hw, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = x_ref[dy * w + dx:dy * w + dx + hw, :]
+            xs = x_ref[0, dy * w + dx:dy * w + dx + hw, :]
             if dx == 0:
                 xs = jnp.where(m_left, xs, jnp.bfloat16(0))
             elif dx == 2:
@@ -82,11 +82,11 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, h: int, w: int,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             if f32_out:
-                out_ref[...] += part
+                out_ref[0] += part
             else:
                 acc += part
     if f32_out:
-        acc = out_ref[...]
+        acc = out_ref[0]
     # flax rounding points: bf16 conv output, bf16 bias add, f32 BN affine.
     # reduce_precision, not dtype casts: XLA elides f32->bf16->f32 convert
     # chains around arithmetic, silently skipping the rounding.
@@ -97,7 +97,7 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, h: int, w: int,
     y = z * aff_ref[1:2, :] + aff_ref[2:3, :]
     if relu:
         y = jnp.maximum(y, 0.0)
-    out_ref[...] = y.astype(out_ref.dtype)
+    out_ref[0] = y.astype(out_ref.dtype)
 
 
 def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
@@ -114,25 +114,27 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
     `bn_shift = beta - mean * bn_mul`.
 
     Args:
-      x: (1, H, W, Cin); cast to bfloat16 (the conv compute dtype).
+      x: (B, H, W, Cin); cast to bfloat16 (the conv compute dtype).
+        Batch items run as a sequential kernel grid (one VMEM residency
+        each), so the VMEM budget is per item.
       kernel: (3, 3, Cin, Cout) HWIO, cast to bfloat16.
       bias: (Cout,) conv bias (added in bf16, like flax).
       bn_mul, bn_shift: per-channel f32 affine; defaults 1 / 0 (plain conv).
       relu: apply max(y, 0) before the output cast.
       out_dtype: bfloat16 (serving chains) or float32 (mirrors the flax
         path, whose eval BatchNorm emits f32 into pooling).
-    Returns (1, H, W, Cout) in `out_dtype`.
+    Returns (B, H, W, Cout) in `out_dtype`.
     """
     b, h, w, cin = x.shape
     kh, kw, kcin, cout = kernel.shape
-    if b != 1 or (kh, kw) != (3, 3) or kcin != cin:
+    if (kh, kw) != (3, 3) or kcin != cin:
         raise ValueError(f"unsupported shapes x={x.shape} k={kernel.shape}")
     hw = h * w
     lead = w + 1
     rows_pad = -(-(hw + 2 * lead) // 16) * 16
 
-    xf = x.astype(jnp.bfloat16).reshape(hw, cin)
-    xp = jnp.pad(xf, ((lead, rows_pad - hw - lead), (0, 0)))
+    xf = x.astype(jnp.bfloat16).reshape(b, hw, cin)
+    xp = jnp.pad(xf, ((0, 0), (lead, rows_pad - hw - lead), (0, 0)))
     kf = kernel.astype(jnp.bfloat16).reshape(9, cin, cout)
     one = jnp.ones((cout,), jnp.float32)
     zero = jnp.zeros((cout,), jnp.float32)
@@ -143,11 +145,16 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
 
     y = pl.pallas_call(
         functools.partial(_conv_kernel, h=h, w=w, cout=cout, relu=relu),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((hw, cout), jnp.dtype(out_dtype)),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((1, rows_pad, cin), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((3, cout), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, hw, cout), jnp.dtype(out_dtype)),
         interpret=interpret,
     )(xp, kf, aff)
-    return y.reshape(1, h, w, cout)
+    return y.reshape(b, h, w, cout)

@@ -47,6 +47,20 @@ def test_conv3x3_matches_flax_sequence(rng, h, w, cin, cout):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_conv3x3_batched(rng):
+    """B>1 runs a sequential kernel grid; every item matches the flax
+    sequence independently."""
+    b, h, w, cin, cout = 3, 9, 11, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, cin, cout)) * 0.2
+                     ).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = _flax_ref(x, k, bias)
+    got = conv3x3(x, k, bias, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_conv3x3_bn_relu_epilogue(rng):
     h, w, cin, cout = 11, 10, 8, 24
     x = jnp.asarray(rng.normal(size=(1, h, w, cin)).astype(np.float32))
