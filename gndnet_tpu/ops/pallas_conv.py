@@ -2,29 +2,33 @@
 
 XLA's `conv_general_dilated` is the best XLA-expressible schedule at the
 model's small-spatial B=1 shapes (scripts/probe_conv.py), but it still
-streams the activation through HBM once per op.  At (1, 100, 100, C) the
-whole activation fits VMEM outright, so this kernel runs the conv as nine
-accumulating MXU dots over statically-offset row slices of a flattened
-image (reference conv stages: modules/segnet.py:118-142):
+streams the activation through HBM once per op.  This kernel runs the
+conv as nine accumulating MXU dots over statically-offset row slices of a
+flattened image held in VMEM (reference conv stages:
+modules/segnet.py:118-142):
 
-* NHWC (1, H, W, Cin) flattens to (H*W, Cin) and gets W+1 zero rows of
-  padding on each side, so tap (dy, dx) of the 3x3 stencil is the SINGLE
-  global row offset `dy*W + dx` — vertical edge contributions land in the
-  zero padding and vanish on their own, and only two lane-free masks
-  remain (w == 0 rows for dx=0 taps, w == W-1 rows for dx=2), built once
-  from a row iota.
-* Each tap: `acc(HW, Cout) += masked_slice(HW, Cin) @ K[dy*3+dx]` on the
-  MXU with float32 accumulation (exactly XLA conv's accumulation dtype).
+* NHWC (B, H, W, Cin) flattens to (B, H*W, Cin) rows and is cut into
+  BANDS of `band = k*W` rows; each band is materialized with its W+1-row
+  halo on both sides, so tap (dy, dx) of the 3x3 stencil is the SINGLE
+  in-band row offset `dy*W + dx` — vertical edge contributions land in
+  the zero padding and vanish on their own, and only two lane-free masks
+  remain (w == 0 rows for dx=0 taps, w == W-1 for dx=2), built from a row
+  iota (band % W == 0 keeps them band-local).
+* Each tap: `acc(band, Cout) += masked_slice(band, Cin) @ K[dy*3+dx]` on
+  the MXU with float32 accumulation (exactly XLA conv's accumulation
+  dtype).  Bands/items run as a sequential kernel grid, each fully
+  VMEM-resident; the band size is chosen as the largest multiple of W
+  under the VMEM budget, so kitti's 100x100 runs as ONE band and
+  fine_grid's 250x250 as a handful.
 * The epilogue reproduces the flax ConvBNRelu eval sequence including its
-  rounding points: bf16(conv) + bf16(bias) in bf16, then the f32
-  eval-BatchNorm affine `(z - mean)*mul + beta` folded to `z*mul + shift`,
-  optional ReLU, one bf16 cast.  XLA fuses bias/BN/relu into its conv for
-  free; folding them here preserves that.
+  rounding points: bf16(conv) + bf16(bias) in bf16 (via
+  `lax.reduce_precision` — XLA elides f32->bf16->f32 convert chains
+  around arithmetic), then the f32 eval-BatchNorm affine folded to
+  `z*mul + shift`, optional ReLU, one output cast.  XLA fuses bias/BN/
+  relu into its conv for free; folding them here preserves that.
 
-Scope: single-item bf16 inference at images that fit the VMEM budget
-(`conv3x3_supported`).  Training and f32/'highest' parity mode keep the
-XLA conv (the parity contract pins the f32 path bit-stable), as do
-oversized grids (fine_grid's 250x250 encoder stages).
+Scope: bf16 inference compute.  Training and f32/'highest' parity mode
+keep the XLA conv (the parity contract pins the f32 path bit-stable).
 """
 
 from __future__ import annotations
@@ -40,27 +44,31 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def conv3x3_supported(h: int, w: int, cin: int, cout: int,
-                      out_f32: bool = False) -> bool:
-    """True when the single-block kernel fits the VMEM budget."""
-    hw = h * w
-    rows = hw + 2 * (w + 1)
-    rows_pad = -(-rows // 16) * 16
+def _band_rows(h: int, w: int, cin: int, cout: int, out_f32: bool) -> int:
+    """Largest per-grid-step band (a multiple of W, <= H*W rows) whose
+    input-with-halo, accumulator/output, and weights fit the VMEM budget.
+    Returns 0 if even one image row does not fit."""
     cin_l = max(cin, 128)     # lane padding: bf16 tiles are (16, 128)
     cout_l = max(cout, 128)
-    # f32 output doubles the out buffer but IS the accumulator; bf16
-    # output adds a separate f32 accumulator beside it
-    out_bytes = hw * cout_l * (4 if out_f32 else 4 + 2)
-    need = (rows_pad * cin_l * 2          # padded input, bf16
-            + out_bytes
-            + 9 * cin * cout * 2)         # weights
-    return need <= _VMEM_BUDGET
+    lead = w + 1
+    const = 9 * cin * cout * 2 + 2 * (lead + 16) * cin_l * 2
+    # f32 output IS the accumulator; bf16 output adds a separate f32 acc
+    per_row = 2 * cin_l + cout_l * (4 if out_f32 else 6)
+    band_max = (_VMEM_BUDGET - const) // per_row
+    k = min(h, band_max // w)
+    return k * w if k >= 1 else 0
 
 
-def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, h: int, w: int,
+def conv3x3_supported(h: int, w: int, cin: int, cout: int,
+                      out_f32: bool = False) -> bool:
+    """True when at least one image row fits the banded kernel's VMEM
+    budget (in practice: any shipped config)."""
+    return _band_rows(h, w, cin, cout, out_f32) > 0
+
+
+def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
                  cout: int, relu: bool):
-    hw = h * w
-    iota = jax.lax.broadcasted_iota(jnp.int32, (hw, 1), 0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
     wmod = iota - (iota // w) * w
     m_left = wmod != 0                    # dx = 0 taps invalid at w == 0
     m_right = wmod != w - 1               # dx = 2 taps invalid at w == W-1
@@ -68,11 +76,11 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, h: int, w: int,
     if f32_out:
         # f32 output: the out ref IS the accumulator (a separate f32 acc
         # would put ~13 MB of live buffers in VMEM at (10000, 128->128))
-        out_ref[0] = jnp.zeros((hw, cout), jnp.float32)
-    acc = None if f32_out else jnp.zeros((hw, cout), jnp.float32)
+        out_ref[0] = jnp.zeros((band, cout), jnp.float32)
+    acc = None if f32_out else jnp.zeros((band, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = x_ref[0, dy * w + dx:dy * w + dx + hw, :]
+            xs = x_ref[0, dy * w + dx:dy * w + dx + band, :]
             if dx == 0:
                 xs = jnp.where(m_left, xs, jnp.bfloat16(0))
             elif dx == 2:
@@ -105,6 +113,7 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
             bn_shift: jax.Array | None = None,
             relu: bool = False,
             out_dtype=jnp.bfloat16,
+            band_rows: int | None = None,
             interpret: bool = False) -> jax.Array:
     """3x3 SAME stride-1 conv + bias + folded eval-BN affine (+ ReLU).
 
@@ -115,26 +124,48 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
 
     Args:
       x: (B, H, W, Cin); cast to bfloat16 (the conv compute dtype).
-        Batch items run as a sequential kernel grid (one VMEM residency
-        each), so the VMEM budget is per item.
+        Items and row bands run as a sequential kernel grid (one VMEM
+        residency each); oversize images are cut into halo-overlapped
+        bands outside the kernel (one extra HBM copy of the input).
       kernel: (3, 3, Cin, Cout) HWIO, cast to bfloat16.
       bias: (Cout,) conv bias (added in bf16, like flax).
       bn_mul, bn_shift: per-channel f32 affine; defaults 1 / 0 (plain conv).
       relu: apply max(y, 0) before the output cast.
       out_dtype: bfloat16 (serving chains) or float32 (mirrors the flax
         path, whose eval BatchNorm emits f32 into pooling).
+      band_rows: override the auto band size (tests; must divide by W).
     Returns (B, H, W, Cout) in `out_dtype`.
     """
     b, h, w, cin = x.shape
     kh, kw, kcin, cout = kernel.shape
     if (kh, kw) != (3, 3) or kcin != cin:
         raise ValueError(f"unsupported shapes x={x.shape} k={kernel.shape}")
+    out_f32 = jnp.dtype(out_dtype) == jnp.float32
+    band = (band_rows if band_rows is not None
+            else _band_rows(h, w, cin, cout, out_f32))
+    if band == 0:
+        raise ValueError(f"one {w}x{cin}->{cout} image row exceeds the "
+                         "VMEM budget")
+    if band % w:
+        raise ValueError(f"band_rows={band} must be a multiple of w={w}")
     hw = h * w
+    nbands = -(-hw // band)
     lead = w + 1
-    rows_pad = -(-(hw + 2 * lead) // 16) * 16
+    win_pad = -(-(band + 2 * lead) // 16) * 16
 
     xf = x.astype(jnp.bfloat16).reshape(b, hw, cin)
-    xp = jnp.pad(xf, ((0, 0), (lead, rows_pad - hw - lead), (0, 0)))
+    # windows: band i covers flat rows [i*band, i*band + band) plus a
+    # lead-row halo on each side; zero padding provides both the vertical
+    # edges and the final partial band
+    total = (nbands - 1) * band + win_pad
+    xp = jnp.pad(xf, ((0, 0), (lead, total - hw - lead), (0, 0)))
+    if nbands == 1:
+        xw = xp[:, None]
+    else:
+        xw = jnp.stack([xp[:, i * band:i * band + win_pad]
+                        for i in range(nbands)], axis=1)
+    xw = xw.reshape(b * nbands, win_pad, cin)
+
     kf = kernel.astype(jnp.bfloat16).reshape(9, cin, cout)
     one = jnp.ones((cout,), jnp.float32)
     zero = jnp.zeros((cout,), jnp.float32)
@@ -144,17 +175,20 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
                      else bn_shift.astype(jnp.float32)])
 
     y = pl.pallas_call(
-        functools.partial(_conv_kernel, h=h, w=w, cout=cout, relu=relu),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((1, rows_pad, cin), lambda i: (i, 0, 0),
+        functools.partial(_conv_kernel, band=band, w=w, cout=cout,
+                          relu=relu),
+        grid=(b * nbands,),
+        in_specs=[pl.BlockSpec((1, win_pad, cin), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((3, cout), lambda i: (0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, hw, cout), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, band, cout), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, hw, cout), jnp.dtype(out_dtype)),
+        out_shape=jax.ShapeDtypeStruct((b * nbands, band, cout),
+                                       jnp.dtype(out_dtype)),
         interpret=interpret,
-    )(xp, kf, aff)
-    return y.reshape(b, h, w, cout)
+    )(xw, kf, aff)
+    return y.reshape(b, nbands * band, cout)[:, :hw].reshape(
+        b, h, w, cout)

@@ -81,11 +81,36 @@ def test_conv3x3_bn_relu_epilogue(rng):
                                np.asarray(ref), rtol=1e-2, atol=1e-2)
 
 
+def test_conv3x3_multi_band(rng):
+    """Forced small bands (several per image, partial tail band) must
+    reproduce the single-band result exactly — inter-band halos carry the
+    true neighbor rows."""
+    b, h, w, cin, cout = 2, 13, 10, 8, 16
+    x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32))
+    k = jnp.asarray((rng.normal(size=(3, 3, cin, cout)) * 0.2
+                     ).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = _flax_ref(x, k, bias)
+    for band in (30, 40, 130):   # 5 bands w/ partial tail, 4 bands, 1 band
+        got = conv3x3(x, k, bias, out_dtype=jnp.float32, band_rows=band,
+                      interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6,
+                                   err_msg=f"band={band}")
+
+
 def test_supported_budget():
+    # the banded kernel covers every shipped grid, incl. fine_grid 250x250
     assert conv3x3_supported(100, 100, 128, 128, out_f32=True)
-    assert not conv3x3_supported(250, 250, 64, 128, out_f32=True)
+    assert conv3x3_supported(250, 250, 64, 128, out_f32=True)
     assert fused_segnet_supported(100, 100, 64)
-    assert not fused_segnet_supported(250, 250, 64)
+    assert fused_segnet_supported(250, 250, 64)
+    from gndnet_tpu.ops.pallas_conv import _band_rows
+    # fine_grid conv1 runs multiple bands, each a multiple of w
+    band = _band_rows(250, 250, 64, 128, out_f32=True)
+    assert 0 < band < 250 * 250 and band % 250 == 0
+    # kitti runs as one band
+    assert _band_rows(100, 100, 64, 128, out_f32=True) == 100 * 100
 
 
 def test_fused_segnet_eval_matches_flax(rng):
