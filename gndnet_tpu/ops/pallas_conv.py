@@ -66,12 +66,24 @@ def conv3x3_supported(h: int, w: int, cin: int, cout: int,
     return _band_rows(h, w, cin, cout, out_f32) > 0
 
 
-def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
-                 cout: int, relu: bool):
+def _edge_masks(band: int, w: int):
     iota = jax.lax.broadcasted_iota(jnp.int32, (band, 1), 0)
     wmod = iota - (iota // w) * w
-    m_left = wmod != 0                    # dx = 0 taps invalid at w == 0
-    m_right = wmod != w - 1               # dx = 2 taps invalid at w == W-1
+    return wmod != 0, wmod != w - 1      # dx=0 invalid at w==0; dx=2 at w-1
+
+
+def _masked_tap(x_ref, m_left, m_right, dy, dx, w, band):
+    xs = x_ref[0, dy * w + dx:dy * w + dx + band, :]
+    if dx == 0:
+        return jnp.where(m_left, xs, jnp.bfloat16(0))
+    if dx == 2:
+        return jnp.where(m_right, xs, jnp.bfloat16(0))
+    return xs
+
+
+def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
+                 cout: int, relu: bool, round_bf16: bool):
+    m_left, m_right = _edge_masks(band, w)
     f32_out = out_ref.dtype == jnp.float32
     if f32_out:
         # f32 output: the out ref IS the accumulator (a separate f32 acc
@@ -80,11 +92,7 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
     acc = None if f32_out else jnp.zeros((band, cout), jnp.float32)
     for dy in range(3):
         for dx in range(3):
-            xs = x_ref[0, dy * w + dx:dy * w + dx + band, :]
-            if dx == 0:
-                xs = jnp.where(m_left, xs, jnp.bfloat16(0))
-            elif dx == 2:
-                xs = jnp.where(m_right, xs, jnp.bfloat16(0))
+            xs = _masked_tap(x_ref, m_left, m_right, dy, dx, w, band)
             part = jax.lax.dot_general(
                 xs, k_ref[3 * dy + dx],
                 (((1,), (0,)), ((), ())),
@@ -98,8 +106,9 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
     # flax rounding points: bf16 conv output, bf16 bias add, f32 BN affine.
     # reduce_precision, not dtype casts: XLA elides f32->bf16->f32 convert
     # chains around arithmetic, silently skipping the rounding.
+    # round_bf16=False (gradient convs) keeps the f32 accumulation intact.
     def rp(t):
-        return jax.lax.reduce_precision(t, 8, 7)
+        return jax.lax.reduce_precision(t, 8, 7) if round_bf16 else t
 
     z = rp(rp(acc) + rp(aff_ref[0:1, :]))
     y = z * aff_ref[1:2, :] + aff_ref[2:3, :]
@@ -108,12 +117,30 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+def _windows(x: jax.Array, band: int, lead: int, win_pad: int,
+             nbands: int) -> jax.Array:
+    """(B, HW, C) -> (B*nbands, win_pad, C) halo-overlapped row bands:
+    band i covers flat rows [i*band, i*band + band) plus a lead-row halo
+    on each side; zero padding provides the vertical edges and the final
+    partial band."""
+    b, hw, c = x.shape
+    total = (nbands - 1) * band + win_pad
+    xp = jnp.pad(x, ((0, 0), (lead, total - hw - lead), (0, 0)))
+    if nbands == 1:
+        xw = xp[:, None]
+    else:
+        xw = jnp.stack([xp[:, i * band:i * band + win_pad]
+                        for i in range(nbands)], axis=1)
+    return xw.reshape(b * nbands, win_pad, c)
+
+
 def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
             bn_mul: jax.Array | None = None,
             bn_shift: jax.Array | None = None,
             relu: bool = False,
             out_dtype=jnp.bfloat16,
             band_rows: int | None = None,
+            round_bf16: bool = True,
             interpret: bool = False) -> jax.Array:
     """3x3 SAME stride-1 conv + bias + folded eval-BN affine (+ ReLU).
 
@@ -153,19 +180,8 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
     lead = w + 1
     win_pad = -(-(band + 2 * lead) // 16) * 16
 
-    xf = x.astype(jnp.bfloat16).reshape(b, hw, cin)
-    # windows: band i covers flat rows [i*band, i*band + band) plus a
-    # lead-row halo on each side; zero padding provides both the vertical
-    # edges and the final partial band
-    total = (nbands - 1) * band + win_pad
-    xp = jnp.pad(xf, ((0, 0), (lead, total - hw - lead), (0, 0)))
-    if nbands == 1:
-        xw = xp[:, None]
-    else:
-        xw = jnp.stack([xp[:, i * band:i * band + win_pad]
-                        for i in range(nbands)], axis=1)
-    xw = xw.reshape(b * nbands, win_pad, cin)
-
+    xw = _windows(x.astype(jnp.bfloat16).reshape(b, hw, cin),
+                  band, lead, win_pad, nbands)
     kf = kernel.astype(jnp.bfloat16).reshape(9, cin, cout)
     one = jnp.ones((cout,), jnp.float32)
     zero = jnp.zeros((cout,), jnp.float32)
@@ -176,7 +192,7 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
 
     y = pl.pallas_call(
         functools.partial(_conv_kernel, band=band, w=w, cout=cout,
-                          relu=relu),
+                          relu=relu, round_bf16=round_bf16),
         grid=(b * nbands,),
         in_specs=[pl.BlockSpec((1, win_pad, cin), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -192,3 +208,106 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
     )(xw, kf, aff)
     return y.reshape(b, nbands * band, cout)[:, :hw].reshape(
         b, h, w, cout)
+
+
+def _wgrad_kernel(x_ref, dy_ref, out_ref, *, band: int, w: int,
+                  cin: int, cout: int):
+    """One band's contribution to d(kernel): per tap,
+    d_K[tap] += masked_window_slice(band, Cin)^T @ d_y(band, Cout) on the
+    MXU, accumulated in the (9, Cin, Cout) f32 out ref across the
+    sequential grid."""
+    i = pl.program_id(0)
+    m_left, m_right = _edge_masks(band, w)
+    dy_b = dy_ref[0]
+
+    @pl.when(i == 0)
+    def _init():
+        out_ref[...] = jnp.zeros((9, cin, cout), jnp.float32)
+
+    for dy in range(3):
+        for dx in range(3):
+            xs = _masked_tap(x_ref, m_left, m_right, dy, dx, w, band)
+            out_ref[3 * dy + dx] += jax.lax.dot_general(
+                xs, dy_b, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+
+def conv3x3_wgrad(x: jax.Array, d_y: jax.Array, *,
+                  band_rows: int | None = None,
+                  interpret: bool = False) -> jax.Array:
+    """d(kernel) of `conv3x3` w.r.t. its HWIO weights: (3, 3, Cin, Cout)
+    f32 from the same banded window decomposition as the forward."""
+    b, h, w, cin = x.shape
+    _, _, _, cout = d_y.shape
+    band = (band_rows if band_rows is not None
+            else _band_rows(h, w, cin, cout, out_f32=False))
+    if band == 0 or band % w:
+        raise ValueError(f"bad band {band} for w={w}")
+    hw = h * w
+    nbands = -(-hw // band)
+    lead = w + 1
+    win_pad = -(-(band + 2 * lead) // 16) * 16
+
+    xw = _windows(x.astype(jnp.bfloat16).reshape(b, hw, cin),
+                  band, lead, win_pad, nbands)
+    # d_y cut into the same bands (no halo); zero-pad the partial tail
+    dyf = d_y.astype(jnp.bfloat16).reshape(b, hw, cout)
+    dyp = jnp.pad(dyf, ((0, 0), (0, nbands * band - hw), (0, 0))
+                  ).reshape(b * nbands, band, cout)
+
+    k = pl.pallas_call(
+        functools.partial(_wgrad_kernel, band=band, w=w, cin=cin,
+                          cout=cout),
+        grid=(b * nbands,),
+        in_specs=[pl.BlockSpec((1, win_pad, cin), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, band, cout), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((9, cin, cout), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((9, cin, cout), jnp.float32),
+        interpret=interpret,
+    )(xw, dyp)
+    return k.reshape(3, 3, cin, cout)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv3x3_train(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+                  interpret: bool = False) -> jax.Array:
+    """Differentiable plain conv3x3 (bias, no BN/relu, bf16 output) for
+    the training forward: the VJP hand-derives all three gradients with
+    the same banded Mosaic kernels.
+
+      d_x = conv3x3(d_y, rot180(K)^T)   (SAME-padded correlation)
+      d_K[tap] = shifted-masked-x^T @ d_y  (`conv3x3_wgrad`)
+      d_bias = sum(d_y)
+
+    Matches nn.Conv(dtype=bf16) + XLA autodiff up to f32 accumulation
+    order (gradient convs skip the forward's bf16 rounding points:
+    round_bf16=False keeps the f32 accumulation intact)."""
+    return conv3x3(x, kernel, bias, interpret=interpret)
+
+
+def _conv3x3_train_fwd(x, kernel, bias, interpret):
+    y = conv3x3(x, kernel, bias, interpret=interpret)
+    # zero-length sentinels carry the primal dtypes (dtypes themselves are
+    # not valid residuals)
+    return y, (x.astype(jnp.bfloat16), kernel.astype(jnp.bfloat16),
+               jnp.zeros((0,), x.dtype), jnp.zeros((0,), kernel.dtype),
+               jnp.zeros((0,), bias.dtype))
+
+
+def _conv3x3_train_bwd(interpret, res, d_y):
+    x16, k16, x_s, k_s, b_s = res
+    x_dt, k_dt, b_dt = x_s.dtype, k_s.dtype, b_s.dtype
+    # rot180 + transpose(Cin<->Cout): SAME-padded full correlation
+    k_rot = jnp.transpose(k16[::-1, ::-1], (0, 1, 3, 2))
+    d_x = conv3x3(d_y, k_rot, jnp.zeros((k16.shape[2],), jnp.float32),
+                  out_dtype=jnp.float32, round_bf16=False,
+                  interpret=interpret).astype(x_dt)
+    d_k = conv3x3_wgrad(x16, d_y, interpret=interpret).astype(k_dt)
+    d_b = jnp.sum(d_y.astype(jnp.float32), axis=(0, 1, 2)).astype(b_dt)
+    return d_x, d_k, d_b
+
+
+conv3x3_train.defvjp(_conv3x3_train_fwd, _conv3x3_train_bwd)
