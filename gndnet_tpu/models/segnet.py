@@ -19,26 +19,45 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from gndnet_tpu.ops.pallas_conv import conv3x3, conv3x3_supported
+from gndnet_tpu.ops.pallas_conv import (conv3x3, conv3x3_supported,
+                                        conv3x3_train)
 from gndnet_tpu.ops.pooling import max_pool_argmax, max_unpool
 
 
 class ConvBNRelu(nn.Module):
     """conv2DBatchNormRelu (reference modules/segnet.py:11-44): 3x3 conv with
-    bias + BatchNorm2d(default eps 1e-5, momentum 0.1) + ReLU."""
+    bias + BatchNorm2d(default eps 1e-5, momentum 0.1) + ReLU.
+
+    `pallas_train_conv=True` swaps the TRAINING forward's conv for the
+    banded VMEM kernel with its hand-derived VJP (ops/pallas_conv.
+    conv3x3_train) — same bf16 semantics, params untouched (the nn.Conv
+    submodule still owns them).  Eval dispatch happens one level up
+    (SegnetGndEst's fused twin, which also folds BN/ReLU)."""
 
     filters: int
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     bn_axis: str | None = None   # mesh axis for cross-device sync-BN
+    pallas_train_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(
+        fast = (self.pallas_train_conv and train
+                and not self.is_initializing()
+                and self.dtype == jnp.bfloat16
+                and jax.default_backend() == "tpu"
+                and conv3x3_supported(x.shape[1], x.shape[2], x.shape[3],
+                                      self.filters))
+        conv = nn.Conv(
             self.filters, (3, 3), padding="SAME", use_bias=True,
             dtype=self.dtype, precision=jax.lax.Precision(self.precision),
             name="conv",
-        )(x)
+        )
+        if fast:
+            p = self.variables["params"]["conv"]
+            x = conv3x3_train(x, p["kernel"], p["bias"])
+        else:
+            x = conv(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=jnp.float32, axis_name=self.bn_axis, name="bn",
@@ -51,13 +70,16 @@ class SegnetDown2(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     bn_axis: str | None = None   # mesh axis for cross-device sync-BN
+    pallas_train_conv: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = ConvBNRelu(self.filters, self.dtype, self.precision,
-                       self.bn_axis, name="conv1")(x, train)
+                       self.bn_axis, self.pallas_train_conv,
+                       name="conv1")(x, train)
         x = ConvBNRelu(self.filters, self.dtype, self.precision,
-                       self.bn_axis, name="conv2")(x, train)
+                       self.bn_axis, self.pallas_train_conv,
+                       name="conv2")(x, train)
         unpooled_hw = x.shape[1:3]
         pooled, idx = max_pool_argmax(x)
         return pooled, idx, unpooled_hw
@@ -72,14 +94,17 @@ class SegnetUp2(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     bn_axis: str | None = None
+    pallas_train_conv: bool = False
 
     @nn.compact
     def __call__(self, x, idx, out_hw, train: bool = False):
         x = max_unpool(x, idx, out_hw)
         x = ConvBNRelu(self.in_filters, self.dtype, self.precision,
-                       self.bn_axis, name="conv1")(x, train)
+                       self.bn_axis, self.pallas_train_conv,
+                       name="conv1")(x, train)
         x = ConvBNRelu(self.out_filters, self.dtype, self.precision,
-                       self.bn_axis, name="conv2")(x, train)
+                       self.bn_axis, self.pallas_train_conv,
+                       name="conv2")(x, train)
         return x
 
 
@@ -152,6 +177,7 @@ class SegnetGndEst(nn.Module):
     precision: str = "highest"
     bn_axis: str | None = None
     use_pallas_conv: bool = True   # serving fast path (eval, bf16, B=1, TPU)
+    pallas_train_conv: bool = False  # training conv via conv3x3_train VJP
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -163,14 +189,19 @@ class SegnetGndEst(nn.Module):
                                            x.shape[3])):
             return fused_segnet_eval(self.variables["params"],
                                      self.variables["batch_stats"], x)
+        ptc = self.pallas_train_conv
         down1, idx1, hw1 = SegnetDown2(128, self.dtype, self.precision,
-                                       self.bn_axis, name="down1")(x, train)
+                                       self.bn_axis, ptc,
+                                       name="down1")(x, train)
         down2, idx2, hw2 = SegnetDown2(256, self.dtype, self.precision,
-                                       self.bn_axis, name="down2")(down1, train)
+                                       self.bn_axis, ptc,
+                                       name="down2")(down1, train)
         up2 = SegnetUp2(256, 128, self.dtype, self.precision,
-                        self.bn_axis, name="up2")(down2, idx2, hw2, train)
+                        self.bn_axis, ptc,
+                        name="up2")(down2, idx2, hw2, train)
         up1 = SegnetUp2(128, 64, self.dtype, self.precision,
-                        self.bn_axis, name="up1")(up2, idx1, hw1, train)
+                        self.bn_axis, ptc,
+                        name="up1")(up2, idx1, hw1, train)
         pred = nn.Conv(
             1, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype,
             precision=jax.lax.Precision(self.precision), name="regressor",

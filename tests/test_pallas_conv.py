@@ -187,6 +187,62 @@ def test_segnet_dispatch_branch(rng, monkeypatch):
                                rtol=5e-2, atol=2e-2)
 
 
+def test_convbnrelu_train_dispatch(rng, monkeypatch):
+    """The pallas_train_conv branch (TPU-only in production) runs the
+    custom-VJP conv under flax train mode: outputs, grads, and the
+    mutated batch_stats all match the nn.Conv path."""
+    import gndnet_tpu.models.segnet as segnet_mod
+    from gndnet_tpu.models.segnet import ConvBNRelu
+
+    h, w, cin = 10, 12, 8
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    ref_mod = ConvBNRelu(16, jnp.bfloat16, "default")
+    fast_mod = ConvBNRelu(16, jnp.bfloat16, "default",
+                          pallas_train_conv=True)
+    variables = ref_mod.init(jax.random.PRNGKey(0), x)
+
+    def loss(mod, v):
+        def f(params):
+            y, upd = mod.apply({"params": params,
+                                "batch_stats": v["batch_stats"]},
+                               x, train=True, mutable=["batch_stats"])
+            return jnp.sum(jnp.square(y.astype(jnp.float32))), upd
+        (val, upd), grads = jax.value_and_grad(f, has_aux=True)(v["params"])
+        return val, upd, grads
+
+    ref_val, ref_upd, ref_g = loss(ref_mod, variables)
+
+    real_train = segnet_mod.conv3x3_train
+    monkeypatch.setattr(segnet_mod, "conv3x3_train",
+                        lambda x, k, b: real_train(x, k, b, True))
+    monkeypatch.setattr(segnet_mod.jax, "default_backend", lambda: "tpu")
+    got_val, got_upd, got_g = loss(fast_mod, variables)
+
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=2e-3)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3),
+        got_upd, ref_upd)
+
+    def cmp(path, a, b):
+        name = "/".join(str(p.key) for p in path)
+        if name == "conv/bias":
+            # analytically ZERO through train-mode BN (a channel-constant
+            # shift cancels in the mean subtraction); what either path
+            # returns is bf16-cotangent rounding noise, accumulated in
+            # bf16 by XLA autodiff and in f32 by the custom VJP — the two
+            # noises are not comparable to each other.  The pure-conv
+            # grad test above pins d_bias semantics; here just bound the
+            # noise against the kernel-grad scale.
+            kscale = float(jnp.max(jnp.abs(ref_g["conv"]["kernel"])))
+            assert float(jnp.max(jnp.abs(a))) < 2.0 * kscale, name
+        else:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2,
+                atol=2e-2 * float(jnp.max(jnp.abs(b))), err_msg=name)
+
+    jax.tree_util.tree_map_with_path(cmp, got_g, ref_g)
+
+
 def test_fused_segnet_eval_matches_flax(rng):
     """The pallas serving twin == SegnetGndEst.apply(train=False) at
     bf16, including pooling argmax routing (f32 inter-stage chaining)."""

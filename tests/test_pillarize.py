@@ -375,15 +375,21 @@ def test_affine_vjp_duplicate_ties_match_autodiff(rng):
                                rtol=0, atol=1e-5)
 
 
-def test_affine_vjp_bf16_packed_argmax(rng):
+def test_affine_vjp_bf16_packed_argmax():
     """The bf16 training VJP uses the PACKED argmax scan (mono16(value)
     << 12 | inverted rank in one i32 key, plain max scan): its forward
     canvas must be BIT-identical to the primal bf16 path, and d(kernel)
     must track XLA autodiff within bf16 rounding noise (distinct points
     whose activations collide after bf16 rounding get first-winner
-    routing vs autodiff's tie split — torch.max picks the first too)."""
+    routing vs autodiff's tie split — torch.max picks the first too).
+
+    Local fixed-seed rng, NOT the session fixture: the grad tolerance is
+    calibrated against how many near-tie routing flips a draw produces,
+    and the session rng's draw here shifts whenever an earlier test file
+    changes."""
     from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
 
+    rng = np.random.default_rng(1234)
     base = make_cloud(rng, n=600)
     dup = base[rng.integers(0, 600, 424)]
     pts = np.concatenate([base, dup]).astype(np.float32)[None]
