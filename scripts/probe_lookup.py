@@ -1,21 +1,13 @@
-"""Per-point elevation lookup experiments (segment_cloud's ~119 us stage).
+"""Per-point 2D map lookup variants on the real chip (segment_cloud's
+elevation fetch, ~119 us of the 1.64 ms B=1 budget as the XLA one-hot
+selector — docs/KERNELS.md).
 
-`ops/postproc._lookup_2d` delivers map2d[ix_p, iy_p] for 102400 points as a
-factored one-hot selector: an f32 (N, h) @ (h, w) matmul at 'highest'
-precision (6 bf16 MXU passes) then a masked row-reduce.  Candidates:
+  gather   — map2d.reshape(-1)[ix*w+iy] (XLA serialized scalar gather)
+  onehot   — (N,h)@(h,w) f32 selector + (N,w) mask (round-2 form;
+             ~120 MB of HBM one-hot traffic at 102400x100x100)
+  pallas   — in-VMEM selector kernel (lookup_2d_pallas)
 
-  1. highest — the shipped path (exact: one-hot rows select bit-exactly)
-  2. hilo    — split the f32 map into hi=bf16(x), lo=bf16(x-hi): TWO plain
-               bf16 matmuls with f32 accumulation, summed.  Selection-exact
-               up to the 2-term split (~2^-16 relative, ~15 um at 1 m —
-               far below the 4 mm int16 transfer quantization we already
-               accept), at 1/3 of the MXU passes.
-  3. bf16    — ONE bf16 matmul on a bf16-rounded map (~2^-8 relative,
-               ~4 mm at 1 m: the same scale as the int16 transfer path)
-  4. gather  — flat scalar gather (XLA serializes: ~1.1 ms at 100k, the
-               reason the matmul path exists)
-
-Run: python scripts/probe_lookup.py   (on the TPU; CPU numbers meaningless)
+Run: python scripts/probe_lookup.py   (on the TPU)
 """
 
 import sys
@@ -33,7 +25,7 @@ def timed(fn, inputs, reps=96, dispatches=5):
     def chained(args):
         def body(acc, i):
             out = fn(i, *args)
-            return acc + jnp.sum(out.astype(jnp.float32)), ()
+            return acc + jnp.sum(out), ()
         acc, _ = jax.lax.scan(body, jnp.float32(0),
                               jnp.arange(reps, dtype=jnp.int32))
         return acc
@@ -52,63 +44,36 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gndnet_tpu.ops.postproc import (_lookup_2d_xla_onehot,
+                                         lookup_2d_pallas)
+
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
-    n = 102400
-    for h, w in [(100, 100), (250, 250)]:
+    for h, w, n in ((100, 100, 102400), (250, 250, 102400)):
+        map2d = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
         ix = jnp.asarray(rng.integers(0, h, n).astype(np.int32))
         iy = jnp.asarray(rng.integers(0, w, n).astype(np.int32))
-        map2d = jnp.asarray(
-            (rng.normal(size=(h, w)) * 0.3 - 1.7).astype(np.float32))
 
-        def jitter(i, m):
-            return m + i.astype(jnp.float32) * jnp.float32(1e-7)
+        def jit_ix(i, ix):
+            return jnp.minimum(ix + i, h - 1)
 
-        def lk_highest(i, m, ix, iy):
-            m = jitter(i, m)
-            ohx = (ix[:, None] == jnp.arange(h, dtype=ix.dtype)).astype(m.dtype)
-            rows = jnp.dot(ohx, m, precision=jax.lax.Precision("highest"))
-            ohy = (iy[:, None] == jnp.arange(w, dtype=iy.dtype)).astype(m.dtype)
-            return jnp.sum(rows * ohy, axis=1)
-
-        def lk_hilo(i, m, ix, iy):
-            m = jitter(i, m)
-            hi = m.astype(jnp.bfloat16)
-            lo = (m - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            ohx = (ix[:, None] == jnp.arange(h, dtype=ix.dtype)
-                   ).astype(jnp.bfloat16)
-            rows = (jnp.dot(ohx, hi, preferred_element_type=jnp.float32)
-                    + jnp.dot(ohx, lo, preferred_element_type=jnp.float32))
-            ohy = (iy[:, None] == jnp.arange(w, dtype=iy.dtype)
-                   ).astype(jnp.float32)
-            return jnp.sum(rows * ohy, axis=1)
-
-        def lk_bf16(i, m, ix, iy):
-            m = jitter(i, m).astype(jnp.bfloat16)
-            ohx = (ix[:, None] == jnp.arange(h, dtype=ix.dtype)
-                   ).astype(jnp.bfloat16)
-            rows = jnp.dot(ohx, m, preferred_element_type=jnp.float32)
-            ohy = (iy[:, None] == jnp.arange(w, dtype=iy.dtype)
-                   ).astype(jnp.float32)
-            return jnp.sum(rows * ohy, axis=1)
-
-        def lk_gather(i, m, ix, iy):
-            m = jitter(i, m)
-            return m.reshape(-1)[ix * w + iy]
-
-        # correctness vs the exact gather
-        exact = np.asarray(jax.jit(lk_gather)(jnp.int32(0), map2d, ix, iy))
-        for name, fn in [("highest", lk_highest), ("hilo", lk_hilo),
-                         ("bf16", lk_bf16)]:
-            got = np.asarray(jax.jit(fn)(jnp.int32(0), map2d, ix, iy))
-            err = np.max(np.abs(got - exact))
-            print(f"({h}x{w}) {name:8s} max|err| {err:.2e}", flush=True)
-
-        for name, fn in [("highest", lk_highest), ("hilo", lk_hilo),
-                         ("bf16", lk_bf16), ("gather", lk_gather)]:
-            us = timed(fn, (map2d, ix, iy)) * 1e6
-            print(f"({h}x{w}) {name:8s} {us:8.1f} us", flush=True)
-        print()
+        variants = {
+            "gather": lambda i, m, ix, iy: m.reshape(-1)[
+                jit_ix(i, ix) * w + iy],
+            "onehot": lambda i, m, ix, iy: _lookup_2d_xla_onehot(
+                m, jit_ix(i, ix), iy),
+            "pallas": lambda i, m, ix, iy: lookup_2d_pallas(
+                m, jit_ix(i, ix), iy),
+        }
+        ref = np.asarray(map2d)[np.asarray(ix), np.asarray(iy)]
+        line = f"({h}x{w}, n={n}):"
+        for name, fn in variants.items():
+            got = np.asarray(jax.jit(lambda m, ix, iy: fn(
+                jnp.int32(0), m, ix, iy))(map2d, ix, iy))
+            ok = np.array_equal(got, ref)
+            t = timed(fn, (map2d, ix, iy)) * 1e6
+            line += f"  {name} {t:8.1f} us{'' if ok else ' (MISMATCH)'}"
+        print(line, flush=True)
 
 
 if __name__ == "__main__":
