@@ -63,7 +63,10 @@ def main():
     dn = ("NHWC", "HWIO", "NHWC")
     shapes = [(100, 100, 64, 128), (100, 100, 128, 128),
               (50, 50, 128, 256), (50, 50, 256, 256),
-              (100, 100, 128, 64)]
+              (100, 100, 128, 64),
+              # fine_grid stages (banded: several grid steps per conv)
+              (250, 250, 64, 128), (250, 250, 128, 128),
+              (125, 125, 128, 256), (125, 125, 256, 256)]
     from gndnet_tpu.ops.pallas_conv import conv3x3
 
     for h, w, cin, cout in shapes:
