@@ -176,7 +176,10 @@ class SegnetGndEst(nn.Module):
     dtype: jnp.dtype = jnp.float32
     precision: str = "highest"
     bn_axis: str | None = None
-    use_pallas_conv: bool = True   # serving fast path (eval, bf16, B=1, TPU)
+    # serving fast path (eval, bf16, B=1, TPU).  Default OFF until the
+    # kernels have compiled+measured on the real chip (the relay was down
+    # when they landed — docs/RUNBOOK_conv_measure.md flips this)
+    use_pallas_conv: bool = False
     pallas_train_conv: bool = False  # training conv via conv3x3_train VJP
 
     @nn.compact

@@ -102,7 +102,11 @@ def _lookup_2d(map2d, ix, iy, *, interpret: bool = False):
     n = ix.shape[0]
     if not interpret and (jax.default_backend() != "tpu" or n < 4096):
         return map2d.reshape(-1)[ix * w + iy]
-    return lookup_2d_pallas(map2d, ix, iy, interpret=interpret)
+    if interpret:
+        return lookup_2d_pallas(map2d, ix, iy, interpret=True)
+    # TPU default stays the XLA selector until the kernel has
+    # compiled+measured on the real chip (docs/RUNBOOK_conv_measure.md)
+    return _lookup_2d_xla_onehot(map2d, ix, iy)
 
 
 def _lookup_2d_xla_onehot(map2d, ix, iy):

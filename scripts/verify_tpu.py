@@ -187,7 +187,7 @@ def main():
     check("SegNet conv kernel vs flax (stage, rel)", rel,
           np.zeros_like(rel), 1e-2)
 
-    model_pl = GroundEstimatorNet(cfgb)
+    model_pl = GroundEstimatorNet(cfgb, use_pallas_conv=True)
     model_xl = GroundEstimatorNet(cfgb, use_pallas_conv=False)
     f_pl = jax.jit(lambda p: model_pl.apply(
         vb, p[None], train=False, method=GroundEstimatorNet.fused))

@@ -171,7 +171,7 @@ def test_segnet_dispatch_branch(rng, monkeypatch):
 
     h = w = 10
     model = SegnetGndEst(in_channels=64, dtype=jnp.bfloat16,
-                         precision="default")
+                         precision="default", use_pallas_conv=True)
     x = jnp.asarray(rng.normal(size=(1, h, w, 64)).astype(np.float32)
                     ).astype(jnp.bfloat16)
     variables = model.init(jax.random.PRNGKey(0), x)
