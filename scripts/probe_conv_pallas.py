@@ -67,6 +67,7 @@ def main():
               # fine_grid stages (banded: several grid steps per conv)
               (250, 250, 64, 128), (250, 250, 128, 128),
               (125, 125, 128, 256), (125, 125, 256, 256)]
+    batched = [(16, 100, 100, 64, 128), (16, 50, 50, 256, 256)]
     from gndnet_tpu.ops.pallas_conv import conv3x3
 
     for h, w, cin, cout in shapes:
@@ -95,6 +96,30 @@ def main():
         print(f"({h}x{w}, {cin}->{cout}): xla {t_x:8.1f} us   "
               f"pallas {t_p:8.1f} us   delta {t_p - t_x:+7.1f}   "
               f"max|diff| {err:.3e}", flush=True)
+
+    # batched (training-forward / batched-serving shapes): per-item grid
+    for b, h, w, cin, cout in batched:
+        x = jnp.asarray(rng.normal(size=(b, h, w, cin)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+        k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+                        * 0.05).astype(jnp.bfloat16)
+        zero_b = jnp.zeros((cout,), jnp.float32)
+
+        def jitter(i, x):
+            return x + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-6)
+
+        def conv_xla(i, x, k):
+            return jax.lax.conv_general_dilated(
+                jitter(i, x), k, (1, 1), "SAME", dimension_numbers=dn)
+
+        def conv_pl(i, x, k):
+            return conv3x3(jitter(i, x), k, zero_b)
+
+        t_x = timed(conv_xla, (x, k), reps=24) * 1e6
+        t_p = timed(conv_pl, (x, k), reps=24) * 1e6
+        print(f"(B={b}, {h}x{w}, {cin}->{cout}): xla {t_x:8.1f} us   "
+              f"pallas {t_p:8.1f} us   delta {t_p - t_x:+8.1f}",
+              flush=True)
 
 
 if __name__ == "__main__":
