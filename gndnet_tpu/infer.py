@@ -168,17 +168,30 @@ class GroundInferenceEngine:
 
         example = self._example_input(n)
         compiled = self._jit.lower(self._variables, example).compile()
-        return save_compiled(path, compiled)
+        return save_compiled(path, compiled, meta={
+            "example_shape": tuple(example.shape),
+            "example_dtype": str(example.dtype),
+            "transfer_dtype": self.transfer_dtype,
+        })
 
     def aot_load(self, path: str) -> None:
         """Serve from an `aot_save` artifact: scans whose padded shape matches
-        the artifact run the preloaded executable (zero compile cost, even on
-        first call); any other shape falls back to the normal jit path."""
+        the shape the artifact was COMPILED for (recorded in the artifact —
+        aot_save may have used a custom n) run the preloaded executable
+        (zero compile cost, even on first call); any other shape falls back
+        to the normal jit path."""
         from gndnet_tpu.utils.compile_cache import load_compiled
 
-        loaded = load_compiled(path)
+        loaded, meta = load_compiled(path, return_meta=True)
+        saved_transfer = meta.get("transfer_dtype", self.transfer_dtype)
+        if saved_transfer != self.transfer_dtype:
+            raise ValueError(
+                f"AOT artifact was compiled for transfer_dtype="
+                f"{saved_transfer!r}, engine uses {self.transfer_dtype!r}")
         jit_fn = self._jit
-        shape = self._example_input().shape
+        # artifacts from before the meta field: assume the default shape
+        shape = tuple(meta.get("example_shape",
+                               self._example_input().shape))
 
         def dispatch(variables, padded):
             if padded.shape == shape:

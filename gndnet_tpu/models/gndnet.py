@@ -36,7 +36,9 @@ from gndnet_tpu.ops.scatter import scatter_pillars_to_canvas
 class GroundEstimatorNet(nn.Module):
     cfg: GndNetConfig
     bn_axis: str | None = None   # mesh axis name for sync-BN under shard_map
-    use_pallas_conv: bool = True  # SegNet VMEM conv twin (eval bf16 B=1 TPU)
+    # SegNet VMEM conv twin (eval bf16 B=1 TPU); default must track
+    # SegnetGndEst's (OFF until measured on chip — RUNBOOK_conv_measure.md)
+    use_pallas_conv: bool = False
 
     def setup(self):
         self.geom = pz.PillarGeometry.from_config(self.cfg)

@@ -242,9 +242,13 @@ def bitonic_sort_i32(x: jax.Array, *, static: bool = True,
 def sort_padded_i32(x: jax.Array, *, interpret: bool = False) -> jax.Array:
     """Ascending sort of (n,) int32 for arbitrary n: pads to the next
     power of two with INT32_MAX sentinels (all real keys must be smaller),
-    sorts in VMEM, returns the first n keys."""
+    sorts in VMEM, returns the first n keys.  Below the kernel's 256-key
+    minimum the XLA sort takes over (tiny smoke/debug scans — the network
+    would be all padding)."""
     n = x.shape[0]
     m = 1 << max(n - 1, 1).bit_length()
+    if m < 256:
+        return jax.lax.sort(x, is_stable=False)
     if m == n:
         return bitonic_sort_i32(x, interpret=interpret)
     pad = jnp.full((m - n,), jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -295,9 +299,12 @@ def sort2_padded_i32(hi: jax.Array, lo: jax.Array, *, static: bool = True,
     """Lexicographic (hi, lo) sort for arbitrary n: pads both words with
     INT32_MAX sentinels (all real `hi` keys must be smaller; padded pairs
     tie only among themselves, where the exchange is value-neutral) and
-    returns the first n pairs."""
+    returns the first n pairs.  Below the kernel's 256-key minimum the
+    XLA two-key sort takes over."""
     n = hi.shape[0]
     m = 1 << max(n - 1, 1).bit_length()
+    if m < 256:
+        return jax.lax.sort((hi, lo), num_keys=2, is_stable=False)
     if m == n:
         return bitonic_sort2_i32(hi, lo, static=static, interpret=interpret)
     pad = jnp.full((m - n,), jnp.iinfo(jnp.int32).max, jnp.int32)

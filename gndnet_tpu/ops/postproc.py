@@ -90,10 +90,12 @@ def _lookup_2d(map2d, ix, iy, *, interpret: bool = False):
     """Per-point map2d[ix, iy] lookup.
 
     On TPU, XLA lowers a large scalar gather to a serialized ~10 ns/row loop
-    (~1.1 ms at 114k points).  Two MXU selector forms replace it: the
-    in-VMEM pallas kernel (`lookup_2d_pallas`, the default) and the plain
-    XLA one-hot matmul (kept for comparison; it pays ~120 MB of HBM one-hot
-    traffic).  Exactness for both: each one-hot row selects a single f32
+    (~1.1 ms at 114k points).  Two MXU selector forms replace it: the plain
+    XLA one-hot matmul (the CURRENT TPU default; ~120 MB of HBM one-hot
+    traffic) and the staged in-VMEM pallas kernel (`lookup_2d_pallas`,
+    interpret-verified but NOT yet measured on chip — flip the default per
+    docs/RUNBOOK_conv_measure.md step 2).  Exactness for both: each
+    one-hot row selects a single f32
     value with weight 1.0, and every term the 'highest'-precision
     decomposition drops is multiplied by 0 — the result is the selected
     value bit-exactly.  The gather stays for small inputs and CPU

@@ -49,11 +49,14 @@ def enable_compilation_cache(cache_dir: str,
     return cache_dir
 
 
-def save_compiled(path: str, compiled) -> int:
+def save_compiled(path: str, compiled, meta: dict | None = None) -> int:
     """Serialize a `jax.stages.Compiled` to `path`; returns the byte size.
 
     The artifact records the platform and jax version so `load_compiled` can
-    fail fast on mismatch instead of crashing inside the runtime.
+    fail fast on mismatch instead of crashing inside the runtime.  `meta`
+    is an arbitrary pickle-able dict stored alongside (callers record the
+    example input shape/dtype the executable was specialized for;
+    `load_compiled(..., return_meta=True)` hands it back).
     """
     from jax.experimental import serialize_executable as se
 
@@ -80,6 +83,7 @@ def save_compiled(path: str, compiled) -> int:
         "blob": blob,
         "in_tree": in_tree,
         "out_tree": out_tree,
+        "meta": dict(meta or {}),
     }
     data = pickle.dumps(payload, protocol=pickle.HIGHEST_PROTOCOL)
     tmp = path + ".tmp"
@@ -89,12 +93,14 @@ def save_compiled(path: str, compiled) -> int:
     return len(data)
 
 
-def load_compiled(path: str):
+def load_compiled(path: str, return_meta: bool = False):
     """Load an AOT artifact written by `save_compiled`.
 
-    Returns a callable with the original (pre-lowering) call signature.
-    Raises ValueError on platform/version mismatch — the executable format
-    is not stable across either.
+    Returns a callable with the original (pre-lowering) call signature
+    (or `(callable, meta)` with `return_meta=True`; artifacts from before
+    the meta field load with an empty dict).  Raises ValueError on
+    platform/version mismatch — the executable format is not stable
+    across either.
     """
     from jax.experimental import serialize_executable as se
 
@@ -116,6 +122,9 @@ def load_compiled(path: str):
     if len(devices) < n:
         raise ValueError(
             f"AOT artifact needs {n} devices, host has {len(devices)}")
-    return se.deserialize_and_load(payload["blob"], payload["in_tree"],
-                                   payload["out_tree"],
-                                   execution_devices=devices[:n])
+    loaded = se.deserialize_and_load(payload["blob"], payload["in_tree"],
+                                      payload["out_tree"],
+                                      execution_devices=devices[:n])
+    if return_meta:
+        return loaded, payload.get("meta", {})
+    return loaded

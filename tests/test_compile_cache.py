@@ -118,3 +118,60 @@ def test_save_compiled_atomic_and_loadable(tmp_path):
     loaded = load_compiled(path)
     x = jnp.arange(64, dtype=jnp.float32).reshape(8, 8)
     np.testing.assert_array_equal(np.asarray(loaded(x)), np.asarray(g(x)))
+
+
+def test_engine_aot_custom_shape_dispatch(rng, monkeypatch):
+    """An artifact saved for a CUSTOM n dispatches on the shape it was
+    compiled for (recorded in the artifact meta), not the engine default:
+    matching scans run the AOT executable, others fall back to jit.
+
+    The loader is mocked: XLA:CPU's AOT loader has a per-process function
+    registry, and deserializing a SECOND engine artifact in one process
+    collides with the first ('Buffer Definition Event: Function
+    wrapped_iota not found') — real deserialization is covered by the
+    single-load roundtrip test above; this one pins the dispatch logic."""
+    import gndnet_tpu.utils.compile_cache as cc
+
+    _, variables = init_model(CFG)
+    eng = GroundInferenceEngine(CFG, variables, threshold=0.08, bucket=256)
+    custom_shape = eng._example_input(600).shape         # (768, F)
+    hits = []
+
+    def fake_loaded(variables, padded):
+        hits.append(padded.shape)
+        return eng._jit(variables, padded)
+
+    monkeypatch.setattr(cc, "load_compiled",
+                        lambda path, return_meta=False: (
+                            fake_loaded,
+                            {"example_shape": tuple(custom_shape),
+                             "transfer_dtype": "float32"}))
+    eng.aot_load("ignored.aot")
+    eng.infer(plane_cloud(rng, n=600))           # pads to 768 -> AOT hit
+    eng.infer(plane_cloud(rng, n=300))           # pads to 512 -> jit
+    assert hits == [custom_shape]
+
+    # transfer-dtype mismatch fails fast
+    eng16 = GroundInferenceEngine(CFG, variables, threshold=0.08,
+                                  bucket=256, transfer_dtype="int16")
+    with pytest.raises(ValueError, match="transfer_dtype"):
+        eng16.aot_load("ignored.aot")
+
+
+def test_aot_meta_roundtrip(tmp_path):
+    """save_compiled stores caller meta; load_compiled returns it (and
+    artifacts remain loadable without requesting it)."""
+    import jax.numpy as jnp
+
+    from gndnet_tpu.utils.compile_cache import load_compiled, save_compiled
+
+    compiled = jax.jit(lambda x: x * 2.0).lower(
+        jnp.zeros((7,), jnp.float32)).compile()
+    path = str(tmp_path / "f.aot")
+    save_compiled(path, compiled, meta={"example_shape": (7,)})
+    fn, meta = load_compiled(path, return_meta=True)
+    assert meta["example_shape"] == (7,)
+    np.testing.assert_array_equal(
+        np.asarray(fn(jnp.ones((7,), jnp.float32))), np.full(7, 2.0))
+    fn2 = load_compiled(path)
+    assert float(fn2(jnp.ones((7,), jnp.float32))[0]) == 2.0

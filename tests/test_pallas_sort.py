@@ -116,3 +116,20 @@ def test_sorted_stream_semantics_with_packed_keys(rng):
     for c in np.unique(cells):
         np.testing.assert_array_equal(idx_s[cell_s == c],
                                       np.sort(np.nonzero(cells == c)[0]))
+
+
+def test_sort_padded_small_n_falls_back(rng):
+    """Below the kernel's 256-key minimum the padded entry points route
+    to the XLA sort instead of raising (tiny smoke/debug scans)."""
+    from gndnet_tpu.ops.pallas_sort import sort2_padded_i32, sort_padded_i32
+
+    x = rng.integers(-50, 50, 100).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(sort_padded_i32(jnp.asarray(x))),
+                                  np.sort(x))
+    hi = rng.integers(0, 5, 60).astype(np.int32)
+    lo = np.arange(60, dtype=np.int32)
+    rng.shuffle(lo)
+    hi_s, lo_s = sort2_padded_i32(jnp.asarray(hi), jnp.asarray(lo))
+    order = np.lexsort((lo, hi))
+    np.testing.assert_array_equal(np.asarray(hi_s), hi[order])
+    np.testing.assert_array_equal(np.asarray(lo_s), lo[order])
