@@ -162,6 +162,7 @@ def test_conv3x3_wgrad_banded(rng):
                                    err_msg=f"band={band}")
 
 
+@pytest.mark.slow
 def test_segnet_dispatch_branch(rng, monkeypatch):
     """The SegnetGndEst fast-path branch itself (backend gate + bound
     self.variables access inside @nn.compact) — normally TPU-only —
@@ -187,6 +188,7 @@ def test_segnet_dispatch_branch(rng, monkeypatch):
                                rtol=5e-2, atol=2e-2)
 
 
+@pytest.mark.slow
 def test_convbnrelu_train_dispatch(rng, monkeypatch):
     """The pallas_train_conv branch (TPU-only in production) runs the
     custom-VJP conv under flax train mode: outputs, grads, and the
