@@ -24,6 +24,7 @@ Usage: python bench.py [--mode device|e2e|batched|stream] [--iters N]
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -392,7 +393,28 @@ def main():
     ap.add_argument("--impl", default=None,
                     choices=[None, "scatter", "affine", "sorted"],
                     help="fused frontend implementation override")
+    ap.add_argument("--watchdog", type=float,
+                    default=float(os.environ.get("BENCH_WATCHDOG_S", 1800)),
+                    help="hard wall-clock limit in seconds; the axon relay "
+                         "can hang indefinitely (even jax.devices() blocks "
+                         "when it is down) and a silent forever-hang is "
+                         "worse than a loud failure.  Generous default: "
+                         "first compile after boot is 75-160 s per program "
+                         "and accuracy mode trains ~140 s on top.")
     args = ap.parse_args()
+
+    if args.watchdog > 0:
+        import threading
+
+        def _expire():
+            print(f"bench.py watchdog: no result after {args.watchdog:.0f}s "
+                  "(TPU relay down or compile hung) — aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+        t = threading.Timer(args.watchdog, _expire)
+        t.daemon = True
+        t.start()
 
     from gndnet_tpu.config import load_config
     from gndnet_tpu.models.gndnet import init_model
