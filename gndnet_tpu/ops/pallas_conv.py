@@ -27,8 +27,10 @@ modules/segnet.py:118-142):
   `z*mul + shift`, optional ReLU, one output cast.  XLA fuses bias/BN/
   relu into its conv for free; folding them here preserves that.
 
-Scope: bf16 inference compute.  Training and f32/'highest' parity mode
-keep the XLA conv (the parity contract pins the f32 path bit-stable).
+Scope: bf16 compute.  `conv3x3` (+ the fused eval twin in models/segnet)
+serves inference; `conv3x3_train` adds a hand-derived VJP for the
+training forward.  f32/'highest' parity mode keeps the XLA conv (the
+parity contract pins the f32 path bit-stable).
 """
 
 from __future__ import annotations
@@ -64,6 +66,22 @@ def conv3x3_supported(h: int, w: int, cin: int, cout: int,
     """True when at least one image row fits the banded kernel's VMEM
     budget (in practice: any shipped config)."""
     return _band_rows(h, w, cin, cout, out_f32) > 0
+
+
+def _band_geometry(h: int, w: int, cin: int, cout: int, out_f32: bool,
+                   band_rows: int | None):
+    """(band, nbands, lead, win_pad) for the banded window decomposition
+    shared by the forward and wgrad kernels."""
+    band = (band_rows if band_rows is not None
+            else _band_rows(h, w, cin, cout, out_f32))
+    if band == 0:
+        raise ValueError(f"one {w}x{cin}->{cout} image row exceeds the "
+                         "VMEM budget")
+    if band % w:
+        raise ValueError(f"band_rows={band} must be a multiple of w={w}")
+    lead = w + 1
+    win_pad = -(-(band + 2 * lead) // 16) * 16
+    return band, -(-(h * w) // band), lead, win_pad
 
 
 def _edge_masks(band: int, w: int):
@@ -168,17 +186,9 @@ def conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array, *,
     if (kh, kw) != (3, 3) or kcin != cin:
         raise ValueError(f"unsupported shapes x={x.shape} k={kernel.shape}")
     out_f32 = jnp.dtype(out_dtype) == jnp.float32
-    band = (band_rows if band_rows is not None
-            else _band_rows(h, w, cin, cout, out_f32))
-    if band == 0:
-        raise ValueError(f"one {w}x{cin}->{cout} image row exceeds the "
-                         "VMEM budget")
-    if band % w:
-        raise ValueError(f"band_rows={band} must be a multiple of w={w}")
+    band, nbands, lead, win_pad = _band_geometry(h, w, cin, cout, out_f32,
+                                                 band_rows)
     hw = h * w
-    nbands = -(-hw // band)
-    lead = w + 1
-    win_pad = -(-(band + 2 * lead) // 16) * 16
 
     xw = _windows(x.astype(jnp.bfloat16).reshape(b, hw, cin),
                   band, lead, win_pad, nbands)
@@ -239,14 +249,9 @@ def conv3x3_wgrad(x: jax.Array, d_y: jax.Array, *,
     f32 from the same banded window decomposition as the forward."""
     b, h, w, cin = x.shape
     _, _, _, cout = d_y.shape
-    band = (band_rows if band_rows is not None
-            else _band_rows(h, w, cin, cout, out_f32=False))
-    if band == 0 or band % w:
-        raise ValueError(f"bad band {band} for w={w}")
+    band, nbands, lead, win_pad = _band_geometry(h, w, cin, cout, False,
+                                                 band_rows)
     hw = h * w
-    nbands = -(-hw // band)
-    lead = w + 1
-    win_pad = -(-(band + 2 * lead) // 16) * 16
 
     xw = _windows(x.astype(jnp.bfloat16).reshape(b, hw, cin),
                   band, lead, win_pad, nbands)
