@@ -21,9 +21,10 @@ modules/segnet.py:118-142):
   under the VMEM budget, so kitti's 100x100 runs as ONE band and
   fine_grid's 250x250 as a handful.
 * The epilogue reproduces the flax ConvBNRelu eval sequence including its
-  rounding points: bf16(conv) + bf16(bias) in bf16 (via
-  `lax.reduce_precision` — XLA elides f32->bf16->f32 convert chains
-  around arithmetic), then the f32 eval-BatchNorm affine folded to
+  rounding points: bf16(conv) + bf16(bias) in bf16 (in-kernel convert
+  round-trips — Mosaic has no reduce_precision lowering, and XLA's
+  convert-chain elision never sees a pallas body), then the f32
+  eval-BatchNorm affine folded to
   `z*mul + shift`, optional ReLU, one output cast.  XLA fuses bias/BN/
   relu into its conv for free; folding them here preserves that.
 
@@ -122,11 +123,14 @@ def _conv_kernel(x_ref, k_ref, aff_ref, out_ref, *, band: int, w: int,
     if f32_out:
         acc = out_ref[0]
     # flax rounding points: bf16 conv output, bf16 bias add, f32 BN affine.
-    # reduce_precision, not dtype casts: XLA elides f32->bf16->f32 convert
-    # chains around arithmetic, silently skipping the rounding.
+    # In-kernel this is a plain convert round-trip: Mosaic has no
+    # reduce_precision lowering, and XLA's f32->bf16->f32 elision pass
+    # never sees a pallas body.  verify_tpu check 4 pins the rounding.
     # round_bf16=False (gradient convs) keeps the f32 accumulation intact.
     def rp(t):
-        return jax.lax.reduce_precision(t, 8, 7) if round_bf16 else t
+        if not round_bf16:
+            return t
+        return t.astype(jnp.bfloat16).astype(jnp.float32)
 
     z = rp(rp(acc) + rp(aff_ref[0:1, :]))
     y = z * aff_ref[1:2, :] + aff_ref[2:3, :]
