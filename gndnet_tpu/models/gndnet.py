@@ -36,10 +36,6 @@ from gndnet_tpu.ops.scatter import scatter_pillars_to_canvas
 class GroundEstimatorNet(nn.Module):
     cfg: GndNetConfig
     bn_axis: str | None = None   # mesh axis name for sync-BN under shard_map
-    # SegNet VMEM conv twin (eval bf16 B=1 TPU); default must track
-    # SegnetGndEst's (OFF until measured on chip — RUNBOOK_conv_measure.md)
-    use_pallas_conv: bool = False
-    pallas_train_conv: bool = False  # conv3x3_train VJP in the train fwd
 
     def setup(self):
         self.geom = pz.PillarGeometry.from_config(self.cfg)
@@ -56,8 +52,6 @@ class GroundEstimatorNet(nn.Module):
             dtype=dtype,
             precision=self.cfg.matmul_precision,
             bn_axis=self.bn_axis,
-            use_pallas_conv=self.use_pallas_conv,
-            pallas_train_conv=self.pallas_train_conv,
             name="encoder_decoder",
         )
 

@@ -18,8 +18,6 @@ All reference quirks are reproduced where they are semantics, not bugs:
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -33,87 +31,29 @@ def _cell_indices(points, grid_range, cell_size):
     return ix, iy
 
 
-def _lookup_kernel(ixy_ref, mapt_ref, out_ref, *, h: int, w: int,
-                   chunk: int):
-    """One grid step of the in-VMEM selector: build the chunk's (h, chunk)
-    x-one-hot, select map columns on the MXU, mask by the y-one-hot, and
-    reduce over sublanes — the one-hots never touch HBM."""
-    ix = ixy_ref[0:1, :]
-    iy = ixy_ref[1:2, :]
-    ohx = (jax.lax.broadcasted_iota(jnp.int32, (h, chunk), 0) == ix
-           ).astype(jnp.float32)
-    # 'highest' keeps the f32 map values un-truncated on the MXU; every
-    # term the decomposition drops is multiplied by 0, so the selected
-    # value is bit-exact
-    m1 = jax.lax.dot_general(mapt_ref[...], ohx, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision("highest"))
-    ohy = jax.lax.broadcasted_iota(jnp.int32, (w, chunk), 0) == iy
-    out_ref[...] = jnp.sum(jnp.where(ohy, m1, 0.0), axis=0, keepdims=True)
-
-
-def lookup_2d_pallas(map2d, ix, iy, *, chunk: int = 2048,
-                     interpret: bool = False):
-    """(N,) per-point `map2d[ix, iy]` with VMEM-resident one-hots.
-
-    The XLA one-hot selector form below materializes (N, h) and (N, w)
-    f32 one-hots plus an (N, w) product in HBM — ~120 MB of traffic at
-    the flagship 102400x100x100 lookup, measured ~119 us in-situ.  This
-    kernel streams (2, chunk) index rows against the ~40 KB resident map
-    and writes only the (1, chunk) result."""
-    h, w = map2d.shape
-    n = ix.shape[0]
-    pad = (-n) % chunk
-    ixy = jnp.stack([ix, iy])
-    if pad:
-        ixy = jnp.pad(ixy, ((0, 0), (0, pad)))   # pad rows read cell (0,0)
-    steps = ixy.shape[1] // chunk
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    out = pl.pallas_call(
-        functools.partial(_lookup_kernel, h=h, w=w, chunk=chunk),
-        grid=(steps,),
-        in_specs=[pl.BlockSpec((2, chunk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((w, h), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, chunk), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, steps * chunk), jnp.float32),
-        interpret=interpret,
-    )(ixy, map2d.astype(jnp.float32).T)
-    return out[0, :n]
-
-
-def _lookup_2d(map2d, ix, iy, *, interpret: bool = False):
+def _lookup_2d(map2d, ix, iy):
     """Per-point map2d[ix, iy] lookup.
 
     On TPU, XLA lowers a large scalar gather to a serialized ~10 ns/row loop
-    (~1.1 ms at 114k points).  Two MXU selector forms replace it: the plain
-    XLA one-hot matmul (the CURRENT TPU default; ~120 MB of HBM one-hot
-    traffic) and the staged in-VMEM pallas kernel (`lookup_2d_pallas`,
-    interpret-verified but NOT yet measured on chip — flip the default per
-    docs/RUNBOOK_conv_measure.md step 2).  Exactness for both: each
-    one-hot row selects a single f32
-    value with weight 1.0, and every term the 'highest'-precision
-    decomposition drops is multiplied by 0 — the result is the selected
-    value bit-exactly.  The gather stays for small inputs and CPU
-    (tests/oracles)."""
+    (~1.1 ms at 114k points); the one-hot MXU selector form replaces it.
+    Exactness: each one-hot row selects a single f32 value with weight 1.0,
+    and every term the 'highest'-precision decomposition drops is multiplied
+    by 0 — the result is the selected value bit-exactly.  The gather stays
+    for small inputs and CPU (tests/oracles).
+
+    A VMEM-streaming Mosaic selector variant was measured SLOWER than this
+    XLA form on the v5e (+65 us at 100x100, +163 us at 250x250 over the
+    flagship 102400-point lookup) and deleted — docs/KERNELS.md "in-VMEM
+    lookup post-mortem"."""
     h, w = map2d.shape
     n = ix.shape[0]
-    if not interpret and (jax.default_backend() != "tpu" or n < 4096):
+    if jax.default_backend() != "tpu" or n < 4096:
         return map2d.reshape(-1)[ix * w + iy]
-    if interpret:
-        return lookup_2d_pallas(map2d, ix, iy, interpret=True)
-    # TPU default stays the XLA selector until the kernel has
-    # compiled+measured on the real chip (docs/RUNBOOK_conv_measure.md)
     return _lookup_2d_xla_onehot(map2d, ix, iy)
 
 
 def _lookup_2d_xla_onehot(map2d, ix, iy):
-    """The round-2 XLA selector form (see `_lookup_2d`); kept as the
-    measured alternative (scripts/probe_lookup.py)."""
+    """The MXU one-hot selector form (see `_lookup_2d`)."""
     ohx = (ix[:, None] == jnp.arange(map2d.shape[0], dtype=ix.dtype)
            ).astype(map2d.dtype)
     rows = jnp.dot(ohx, map2d, precision=jax.lax.Precision("highest"))

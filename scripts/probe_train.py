@@ -44,22 +44,11 @@ def main():
     from gndnet_tpu.models.gndnet import GroundEstimatorNet
     from gndnet_tpu import train as tr
 
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--pallas_conv", action="store_true",
-                    help="run the SegNet convs through conv3x3_train's "
-                         "custom VJP (RUNBOOK_conv_measure.md step 5)")
-    args = ap.parse_args()
-
     print("backend:", jax.default_backend(), flush=True)
     cfg = kitti_sem_config().replace(
         compute_dtype="bfloat16", matmul_precision="default",
         fused_impl="affine")
     model, tx, state = tr.create_train_state(cfg, steps_per_epoch=100)
-    if args.pallas_conv:
-        # same param tree; only the conv dispatch inside ConvBNRelu changes
-        model = GroundEstimatorNet(cfg, pallas_train_conv=True)
-        print("pallas_train_conv=True", flush=True)
-
     rng = np.random.default_rng(0)
     scan = np.load(
         "/root/reference/data/training/seq_000/reduced_velo/000000.npy"

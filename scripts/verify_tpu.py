@@ -157,48 +157,6 @@ def main():
     print(f"  (info) vs CPU XLA autodiff: {dx:.3e} rel — cross-backend "
           "argmax tie flips, not gated (see comment)", flush=True)
 
-    # 4: SegNet VMEM conv kernel (compiled Mosaic) vs the flax XLA conv on
-    # a REAL serving-bf16 canvas.  Gated at the single-stage level (one
-    # ConvBNRelu; tolerance = one bf16 ULP rel for accumulation-order
-    # rounding ties); the full 9-conv stack is printed as info only —
-    # untrained random conv weights amplify bf16-ULP input noise ~6600x
-    # (scripts/probe_segnet.py), so a full-stack gate would measure chaos,
-    # not the kernels.
-    from gndnet_tpu.models.segnet import ConvBNRelu, _cbr_eval
-    from gndnet_tpu.models.gndnet import GroundEstimatorNet
-
-    cfgb = cfg.replace(compute_dtype="bfloat16",
-                       matmul_precision="default", fused_impl="affine")
-    _, vb = init_model(cfgb)
-    canvas = jax.jit(with_ctx(lambda p, ctx: pz.affine_canvas(
-        p, ctx, geom, cfgb.max_points_voxel, mk, mb,
-        compute_dtype=jnp.bfloat16, precision="default",
-        use_pallas=True)))(pts)            # (1, ny, nx, C)
-    seg_p = vb["params"]["encoder_decoder"]["down1"]["conv1"]
-    seg_s = vb["batch_stats"]["encoder_decoder"]["down1"]["conv1"]
-    cbr = ConvBNRelu(128, jnp.bfloat16, "default")
-    ref_cbr = cbr.apply({"params": seg_p, "batch_stats": seg_s},
-                        canvas.astype(jnp.bfloat16), train=False)
-    got_cbr = jax.jit(lambda c: _cbr_eval(seg_p, seg_s, c, False))(
-        canvas.astype(jnp.bfloat16))
-    ra = np.asarray(ref_cbr, np.float32)
-    ga = np.asarray(got_cbr, np.float32)
-    rel = np.abs(ga - ra) / (np.abs(ra) + 1e-3)
-    check("SegNet conv kernel vs flax (stage, rel)", rel,
-          np.zeros_like(rel), 1e-2)
-
-    model_pl = GroundEstimatorNet(cfgb, use_pallas_conv=True)
-    model_xl = GroundEstimatorNet(cfgb, use_pallas_conv=False)
-    f_pl = jax.jit(lambda p: model_pl.apply(
-        vb, p[None], train=False, method=GroundEstimatorNet.fused))
-    f_xl = jax.jit(lambda p: model_xl.apply(
-        vb, p[None], train=False, method=GroundEstimatorNet.fused))
-    d_full = float(np.max(np.abs(np.asarray(f_pl(pts), np.float32)
-                                 - np.asarray(f_xl(pts), np.float32))))
-    print(f"  (info) full fused forward pallas-conv vs XLA-conv: "
-          f"max|diff| {d_full:.3e} on random untrained weights "
-          "(chaos-amplified, not gated)", flush=True)
-
     print("RESULT:", "PASS" if failures == 0 else f"{failures} FAILURES",
           flush=True)
     return 1 if failures else 0

@@ -108,3 +108,80 @@ def segment_cloud_oracle(points, grid_range, cell_size, elevation_map,
         else:
             out[i] = -1.0
     return out
+
+
+def lidar_to_img_oracle(points, grid_range, cell_size, fill, lidar_height):
+    """Occupancy image, reference semantics (utils/utils.py:250-268): the
+    z < 10 test runs on z + lidar_height (the reference hardcodes +1.732),
+    bounds are the quirky 0 < idx."""
+    h = int((grid_range[2] - grid_range[0]) / cell_size)
+    w = int((grid_range[3] - grid_range[1]) / cell_size)
+    img = np.zeros((h, w))
+    ix = np.floor((points[:, 0] - grid_range[0]) / cell_size).astype(np.int64)
+    iy = np.floor((points[:, 1] - grid_range[1]) / cell_size).astype(np.int64)
+    for i in range(points.shape[0]):
+        if points[i, 2] + lidar_height < 10:
+            if 0 < ix[i] < h and 0 < iy[i] < w:
+                img[ix[i], iy[i]] = fill
+    return img
+
+
+def lidar_to_heightmap_eval_oracle(points, grid_range, cell_size, max_points):
+    """Mean-z heightmap, the EVALUATION variant's semantics
+    (utils/utils.py:271-295): unshifted z < 10, 0 < idx bounds, and the
+    ones-initialised divisor — mean = sum / (count + 1).  (The reference's
+    `k-1 <= max_points` off-by-one writes out of bounds at exactly
+    max_points kept points — undefined numba behavior we do not reproduce;
+    callers keep per-cell counts below max_points.)"""
+    h = int((grid_range[2] - grid_range[0]) / cell_size)
+    w = int((grid_range[3] - grid_range[1]) / cell_size)
+    sums = np.zeros((h, w))
+    counts = np.zeros((h, w), np.int64)
+    ix = np.floor((points[:, 0] - grid_range[0]) / cell_size).astype(np.int64)
+    iy = np.floor((points[:, 1] - grid_range[1]) / cell_size).astype(np.int64)
+    for i in range(points.shape[0]):
+        x, y, z = ix[i], iy[i], points[i, 2]
+        if z < 10 and 0 < x < h and 0 < y < w and counts[x, y] < max_points:
+            sums[x, y] += z
+            counts[x, y] += 1
+    return sums / (counts + 1.0)
+
+
+def eval_frame_oracle(pred_elevation, cloud, sem_label, grid_range, cell_size,
+                      lidar_height, threshold=0.0, max_points=100,
+                      ground_classes=(40, 44, 48, 49, 60, 72)):
+    """One frame of the reference's metric harness, re-derived sequentially
+    (evaluate_SemanticKITTI.py:94-235) given the model's elevation output.
+
+    Mirrors the reference pipeline: the prediction segments the SHIFTED
+    cloud (InferGround's in-place _shift_cloud, :114-116 — the z<10 mask
+    image sees the same shift via its hardcoded +1.732) while the target
+    heightmap uses unshifted z (:120-128).  Returns (iou, precision,
+    recall, mse)."""
+    # shift in float32, like the device pipeline and the reference's numba
+    shifted = np.asarray(cloud, np.float32).copy()
+    shifted[:, 2] += np.float32(lidar_height)
+
+    pred_seg = segment_cloud_oracle(shifted, grid_range, cell_size,
+                                    pred_elevation.T, threshold)
+    gnd_seg = np.ones(sem_label.shape)                 # get_GndSeg (:94-100)
+    gnd_seg[np.isin(sem_label, ground_classes)] = 0
+    gnd_seg[np.isin(sem_label, [0, 1])] = -1
+
+    keep = (pred_seg >= 0) & (gnd_seg >= 0)            # remove_outliers
+    p = 1.0 - pred_seg[keep]
+    g = 1.0 - gnd_seg[keep]
+    inter = np.logical_and(g, p).sum()
+    union = np.logical_or(g, p).sum()
+    iou = inter / union
+    prec = inter / p.sum()
+    rec = inter / g.sum()
+
+    gnd_pts = np.asarray(cloud, np.float32)[
+        np.isin(sem_label, ground_classes)][:, :3]     # get_target_gnd
+    mask = lidar_to_img_oracle(gnd_pts, grid_range, cell_size, 1.0,
+                               lidar_height)
+    hm = lidar_to_heightmap_eval_oracle(gnd_pts, grid_range, cell_size,
+                                        max_points)
+    mse = (np.square(hm - pred_elevation.T) * mask).sum() / mask.sum()
+    return float(iou), float(prec), float(rec), float(mse)

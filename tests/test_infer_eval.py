@@ -149,6 +149,45 @@ def test_evaluate_frames_perfect_prediction_is_high_iou(rng):
     assert set(d) == {"frames", "iou", "precision", "recall", "mse"}
 
 
+def test_evaluate_frames_matches_reference_oracle():
+    """The WHOLE eval pipeline — engine prediction -> threshold segmentation
+    -> get_GndSeg -> outlier removal -> IoU/precision/recall -> occupancy
+    mask + eval-variant heightmap -> masked MSE — pinned against a
+    sequential numpy re-derivation of reference
+    evaluate_SemanticKITTI.py:94-235 at reference_compat=True, on a
+    synthetic labeled scene with out-of-grid points, unlabeled points, and
+    obstacle/ground mix."""
+    from oracles import eval_frame_oracle
+
+    rng = np.random.default_rng(3)
+    _, variables = init_model(CFG)
+    n = 600
+    cloud = np.zeros((n, 3), np.float32)
+    cloud[:, 0] = rng.uniform(-1.0, 17.0, n)    # includes out-of-grid x
+    cloud[:, 1] = rng.uniform(-9.0, 9.0, n)     # includes out-of-grid y
+    cloud[:, 2] = rng.uniform(-2.2, -1.2, n)    # near-ground band
+    cloud[:150, 2] = rng.uniform(0.0, 2.0, 150)  # obstacles
+    sem = rng.choice(
+        np.array([40, 44, 48, 72, 10, 30, 0, 1], np.uint32), n)
+
+    res = evaluate_frames(CFG, variables, [(cloud, sem)], threshold=0.0,
+                          reference_compat=True)
+
+    # same engine configuration evaluate_frames builds -> bit-identical pred
+    engine = GroundInferenceEngine(CFG, variables, threshold=0.0,
+                                   shift_cloud=True)
+    pred, _ = engine.infer(cloud)
+    iou, prec, rec, mse = eval_frame_oracle(
+        pred, cloud, sem, CFG.grid_range, CFG.voxel_size[0],
+        CFG.lidar_height, threshold=0.0)
+    assert res.iou == pytest.approx(iou, abs=1e-9)
+    assert res.precision == pytest.approx(prec, abs=1e-9)
+    assert res.recall == pytest.approx(rec, abs=1e-9)
+    assert res.mse == pytest.approx(mse, rel=1e-6)
+    # sanity: the scene actually exercises every label bucket
+    assert (np.unique(sem) >= 0).all() and res.mse > 0
+
+
 def test_seg_metrics_golden():
     pred = np.array([0, 0, 1, 1, -1, 0], np.float32)
     gt = np.array([0, 1, 1, 0, 0, -1], np.float32)

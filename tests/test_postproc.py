@@ -134,21 +134,3 @@ def test_frustum_culling_matches_sequential(rng):
         jnp.asarray(pts), pos, fwd, 115.0, 16 / 9, 0.1, 10.0))
     np.testing.assert_array_equal(got, want)
     assert 0 < want.sum() < len(pts)
-
-
-def test_lookup_2d_pallas_matches_gather(rng):
-    """The in-VMEM selector kernel == plain gather, bit-exact f32, incl.
-    a non-chunk-multiple N and edge indices; also at fine_grid map size
-    (250x250 > one lane tile)."""
-    from gndnet_tpu.ops.postproc import lookup_2d_pallas
-
-    for h, w, n in ((100, 100, 3001), (250, 250, 2048), (7, 13, 4100)):
-        map2d = rng.normal(size=(h, w)).astype(np.float32)
-        ix = rng.integers(0, h, n).astype(np.int32)
-        iy = rng.integers(0, w, n).astype(np.int32)
-        ix[:4] = [0, h - 1, 0, h - 1]
-        iy[:4] = [0, w - 1, w - 1, 0]
-        ref = map2d[ix, iy]
-        got = lookup_2d_pallas(jnp.asarray(map2d), jnp.asarray(ix),
-                               jnp.asarray(iy), chunk=1024, interpret=True)
-        np.testing.assert_array_equal(np.asarray(got), ref)
