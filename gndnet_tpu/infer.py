@@ -52,18 +52,33 @@ class GroundInferenceEngine:
 
     def __init__(self, cfg: GndNetConfig, variables, threshold: float = 0.08,
                  shift_cloud: bool | None = None, bucket: int = 4096,
-                 transfer_dtype: str = "float32"):
+                 transfer_dtype: str = "float32",
+                 transfer_features: int | None = None):
         """transfer_dtype='int16' ships scans as 4 mm fixed-point (half the
         host->device bytes; dequantized on device).  Use when the host link
         bounds throughput; quantization error (<=2 mm) is far below the
-        segmentation thresholds and cell sizes."""
+        segmentation thresholds and cell sizes.
+
+        transfer_features=k ships only the leading k point columns (k >= 3,
+        i.e. at least xyz) and zero-fills the rest ON DEVICE — e.g. drop the
+        intensity column when the link is the bottleneck (the model then
+        sees intensity 0; the reference itself feeds fake zero features to
+        xyz-only .bin scans, predict_ground.py:129-131).  Default ships all
+        cfg.input_features columns."""
         if transfer_dtype not in ("float32", "int16"):
             raise ValueError(f"unsupported transfer_dtype {transfer_dtype!r}")
+        k = cfg.input_features if transfer_features is None \
+            else int(transfer_features)
+        if not 3 <= k <= cfg.input_features:
+            raise ValueError(
+                f"transfer_features must be in [3, {cfg.input_features}], "
+                f"got {transfer_features}")
         self.cfg = cfg
         self.threshold = float(threshold)
         self.shift = cfg.shift_cloud if shift_cloud is None else shift_cloud
         self.bucket = bucket
         self.transfer_dtype = transfer_dtype
+        self.transfer_features = k
         self.model = GroundEstimatorNet(cfg)
         self._variables = variables
         self._fn = self._build()
@@ -78,10 +93,13 @@ class GroundInferenceEngine:
         thr = self.threshold
 
         quant = self.transfer_dtype == "int16"
+        missing = cfg.input_features - self.transfer_features
 
         def run(variables, points):
             if quant:
                 points = points.astype(jnp.float32) * self.QUANT_SCALE
+            if missing:
+                points = jnp.pad(points, ((0, 0), (0, missing)))
             pts = points + shift
             pred = self.model.apply(
                 variables, pts[None], train=False,
@@ -112,12 +130,19 @@ class GroundInferenceEngine:
 
     def _prepare(self, points: np.ndarray) -> tuple:
         points = np.asarray(points, np.float32)
-        f = self.cfg.input_features
-        if points.shape[1] < f:
+        k = self.transfer_features
+        if points.shape[1] < k:
             points = np.concatenate(
-                [points, np.zeros((points.shape[0], f - points.shape[1]),
+                [points, np.zeros((points.shape[0], k - points.shape[1]),
                                   np.float32)], axis=1)
-        return self._pad(points[:, :f]), points.shape[0]
+        return self._pad(points[:, :k]), points.shape[0]
+
+    def transfer_bytes(self, n_points: int) -> int:
+        """Host->device bytes one scan of n_points costs through this
+        engine's transfer configuration (after bucket padding)."""
+        padded = max(self.bucket, -(-n_points // self.bucket) * self.bucket)
+        item = 2 if self.transfer_dtype == "int16" else 4
+        return padded * self.transfer_features * item
 
     def infer_async(self, points: np.ndarray) -> tuple:
         """Non-blocking submit: returns (n, pred_dev, labels_dev) device
@@ -152,10 +177,61 @@ class GroundInferenceEngine:
             n, pred, labels = inflight.popleft()
             yield np.asarray(pred), np.asarray(labels)[:n]
 
+    def infer_many(self, scans) -> list:
+        """Batched host-fed inference: ship K scans as ONE stacked array and
+        run ONE dispatch, amortizing the per-dispatch transport cost across
+        K scans (this dev environment's relay charges a fixed ~25 ms per
+        dispatch — scripts/probe_quantum.py — which alone caps a
+        one-scan-per-dispatch loop at ~40 Hz regardless of bytes; a real
+        PCIe host charges ~us).  All scans must share one padded bucket
+        shape.  Latency grows to the K-scan window; sustained rate
+        approaches the link's bytes/s ceiling.  Returns
+        [(elevation, labels), ...] in submission order."""
+        prepared = [self._prepare(s) for s in scans]
+        shapes = {p.shape for p, _ in prepared}
+        if len(shapes) != 1:
+            raise ValueError(f"scans fall into mixed buckets {shapes}; "
+                             "pad or split the burst")
+        stack = np.stack([p for p, _ in prepared])
+        preds, labels = self._run_many(self._variables, stack)
+        preds = np.asarray(preds)
+        labels = np.asarray(labels)
+        return [(preds[i], labels[i][:n])
+                for i, (_, n) in enumerate(prepared)]
+
+    @property
+    def _run_many(self):
+        fn = getattr(self, "_run_many_jit", None)
+        if fn is None:
+            cfg = self.cfg
+            shift = jnp.asarray(
+                [0.0, 0.0, cfg.lidar_height if self.shift else 0.0]
+                + [0.0] * (cfg.input_features - 3), jnp.float32)
+            quant = self.transfer_dtype == "int16"
+            missing = cfg.input_features - self.transfer_features
+            seg = jax.vmap(
+                lambda p, e: segment_cloud(p, cfg.grid_range,
+                                           cfg.voxel_size[0], e.T,
+                                           self.threshold))
+
+            def run_many(variables, points):       # (K, N, k_features)
+                if quant:
+                    points = points.astype(jnp.float32) * self.QUANT_SCALE
+                if missing:
+                    points = jnp.pad(points, ((0, 0), (0, 0), (0, missing)))
+                pts = points + shift
+                pred = self.model.apply(variables, pts, train=False,
+                                        method=GroundEstimatorNet.fused)
+                return pred, seg(pts, pred).astype(jnp.int8)
+
+            fn = jax.jit(run_many)
+            self._run_many_jit = fn
+        return fn
+
     def _example_input(self, n: int | None = None) -> np.ndarray:
         """A padded input of the shape the engine serves (for AOT compiles)."""
         n = n or self.cfg.num_points
-        pts = np.zeros((n, self.cfg.input_features), np.float32)
+        pts = np.zeros((n, self.transfer_features), np.float32)
         return self._pad(pts)
 
     def aot_save(self, path: str, n: int | None = None) -> int:

@@ -13,9 +13,14 @@ Checks:
   2. Same in serving bf16.
   3. d(kernel) from the COMPILED Mosaic custom-VJP == the same custom-VJP
      graph in interpret mode on the same TPU backend (Mosaic lowering
-     check; the cross-backend XLA-autodiff delta is printed as info only —
-     argmax winners between near-tied points flip with last-ULP backend
-     rounding, a valid subgradient either way).
+     check), plus a LOOSE 0.15-rel gate vs CPU XLA autodiff on the real
+     scan (argmax winners between near-tied points flip with last-ULP
+     backend rounding — a valid subgradient either way, ~4.7e-2 rel; real
+     mis-routing bugs measure ~0.44).
+  4. TIGHT cotangent-routing gate on a duplicate-only fixture where
+     argmax ties are exact ties between identical rows — immune to winner
+     flips by construction, fails loudly on cotangent
+     duplication/mis-routing/drops.
 Exit code 0 iff all checks pass.
 
 The f32 XLA references compile on the CPU backend, not the TPU: XLA's TPU
@@ -124,12 +129,16 @@ def main():
     # 3: parameter-gradient parity, pallas custom VJP vs XLA autodiff
     pts_np = np.asarray(pts)
 
-    def loss_of(use_pallas, backend, interpret=False):
+    def loss_of(use_pallas, backend, interpret=False, points=None,
+                bias=None):
+        source = pts_np if points is None else points
+        b = mb if bias is None else bias
+
         def loss(kernel):
-            p = jnp.asarray(pts_np)
+            p = jnp.asarray(source)
             ctx = pz.bin_points_batch(p[None], geom)
             c = pz.affine_canvas(
-                p, ctx, geom, cfg.max_points_voxel, kernel, mb,
+                p, ctx, geom, cfg.max_points_voxel, kernel, b,
                 compute_dtype=jnp.float32, precision="highest",
                 differentiable=True, use_pallas=use_pallas,
                 interpret=interpret)
@@ -151,11 +160,75 @@ def main():
     scale = float(np.max(np.abs(g_int))) + 1e-12
     check("d(kernel) Mosaic-VJP vs interpret (tpu, rel)",
           g_pl / scale, g_int / scale, 3e-3)
+    # Cross-backend vs CPU XLA autodiff: argmax winners between NEAR-tied
+    # distinct points flip with last-ULP backend rounding ('highest' on
+    # TPU is the 6-pass algorithm, CPU is native FMA) and move the
+    # per-cell gradient row — a valid subgradient either way, measured
+    # ~4.7e-2 rel on the real fixture.  Gated LOOSELY at 0.15 rel: tie
+    # flips sit ~3x below, while the class of real bug this catches
+    # (cotangent duplication/mis-routing — the pre-fix tie double-count
+    # measured 0.44 rel on this same input) sits ~3x above.  Check 4 is
+    # the tight discriminator.
     g_xla = np.asarray(loss_of(False, "cpu")(np.asarray(mk)), np.float32)
-    dx = float(np.max(np.abs(g_pl - g_xla))) / (
-        float(np.max(np.abs(g_xla))) + 1e-12)
-    print(f"  (info) vs CPU XLA autodiff: {dx:.3e} rel — cross-backend "
-          "argmax tie flips, not gated (see comment)", flush=True)
+    xscale = float(np.max(np.abs(g_xla))) + 1e-12
+    check("d(kernel) vs CPU XLA autodiff (real scan, rel)",
+          g_pl / xscale, g_xla / xscale, 0.15)
+
+    # 4: TIGHT cotangent-routing gate on a fixture built so that CPU and
+    # TPU compute BIT-IDENTICAL activations — then any cross-backend
+    # d(kernel) delta is a routing bug, not a subgradient winner flip.
+    # (The first cut of this check used random duplicated points and
+    # still measured 1.97e-2: distinct random points sharing a cell
+    # near-tie within backend rounding, and one flip moves d(kernel) by
+    # ~1/sqrt(cells) — near-tie immunity needs EXACT arithmetic, not
+    # just duplicate-heavy data.)  Construction:
+    #   * features and the kernel quantized to 1/64: every per-point dot
+    #     is a sum of exactly-representable 2^-12-grid products that
+    #     fits f32's 24-bit mantissa, so TPU 'highest' (6-pass) and CPU
+    #     (FMA) both produce the EXACT result;
+    #   * ONE duplicate group per grid cell (10 exact copies each, the
+    #     reference's resampling-with-replacement structure): the only
+    #     argmax ties are between identical rows, where torch.max
+    #     first-winner routing == autodiff tie-split identically, and
+    #     the pre-fix double-count bug would inflate d(kernel) ~10x;
+    #   * intensity == 1 for every point: the kernel's intensity row
+    #     reads out the summed per-cell cotangent MASS, conserved under
+    #     ANY winner choice — gated extra tight as the conservation law;
+    #   * bias == +10 on every channel keeps relu off its boundary so
+    #     the post-max epilogue cannot flip either.
+    rng = np.random.default_rng(7)
+    dup, q = 10, 64.0
+    iy, ix = np.meshgrid(np.arange(1, cfg.ny), np.arange(1, cfg.nx),
+                         indexing="ij")                  # 0 < idx interior
+    uniq = iy.size
+    base = np.empty((uniq, 4), np.float32)
+    jit_q = rng.integers(-16, 17, size=(uniq, 2)) / q    # +-0.25, 1/64 grid
+    base[:, 0] = cfg.grid_range[0] + ix.ravel() + 0.5 + jit_q[:, 0]
+    base[:, 1] = cfg.grid_range[1] + iy.ravel() + 0.5 + jit_q[:, 1]
+    base[:, 2] = rng.integers(-q, q + 1, size=uniq) / q  # z in [-1, 1]
+    base[:, 3] = 1.0
+    dup_scan = np.repeat(base, dup, axis=0)
+    n_pad = pts_np.shape[0] - dup_scan.shape[0]
+    assert n_pad >= 0, (uniq, dup)
+    dup_scan = np.concatenate(
+        [dup_scan, np.full((n_pad, 4), 1e9, np.float32)])
+    mkq = jnp.asarray(np.round(np.asarray(mk) * q) / q)
+    mbq = jnp.full_like(mb, 10.0)
+    g_pl_d = np.asarray(
+        loss_of(True, "tpu", points=dup_scan, bias=mbq)(mkq), np.float32)
+    g_xla_d = np.asarray(
+        loss_of(False, "cpu", points=dup_scan, bias=np.asarray(mbq))(
+            np.asarray(mkq)), np.float32)
+    dscale = float(np.max(np.abs(g_xla_d))) + 1e-12
+    check("d(kernel) exact-tie routing (vs CPU autodiff, rel)",
+          g_pl_d / dscale, g_xla_d / dscale, 1e-4)
+    # intensity row = conserved cotangent mass (feature layout: raw
+    # intensity is decorated-feature column 3 and has no derived offsets,
+    # so d(mk)[3] maps 1:1 to the per-point matmul's mass readout)
+    mrow = 3
+    mscale = float(np.max(np.abs(g_xla_d[mrow]))) + 1e-12
+    check("d(kernel) cotangent-mass row (conservation, rel)",
+          g_pl_d[mrow] / mscale, g_xla_d[mrow] / mscale, 1e-5)
 
     print("RESULT:", "PASS" if failures == 0 else f"{failures} FAILURES",
           flush=True)

@@ -50,3 +50,8 @@ def test_accuracy_gate_smoke(reference_fixture_dir):
     # exits non-zero when rmse_after > 0.14 m); at 4k points / 12 epochs
     # only "it trains" is meaningful on the holdout
     assert 0 < res["rmse_after"] < 1.0 and 0 < res["rmse_before"] < 1.0
+    # fixture segmentation metrics (IoU/precision/recall of the trained
+    # model's thresholded segmentation vs the GT-elevation-derived one)
+    # ride along in the same report
+    for k in ("iou_before", "iou", "precision", "recall"):
+        assert 0.0 <= res[k] <= 1.0, (k, res)

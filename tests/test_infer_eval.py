@@ -83,6 +83,40 @@ def test_engine_all_presets_smoke(rng):
         assert np.isfinite(elev).all(), name
 
 
+def test_engine_transfer_variants_and_infer_many(rng):
+    """int16 + feature-pruned transfer and the micro-batched infer_many
+    path against the plain float engine on the same scans."""
+    _, variables = init_model(CFG)
+    pts = plane_cloud(rng, n=300)
+    pts[:, 3] = 0.0   # zero intensity so pruning it is value-neutral
+
+    base = GroundInferenceEngine(CFG, variables, threshold=0.08, bucket=256)
+    elev0, lab0 = base.infer(pts)
+
+    q = GroundInferenceEngine(CFG, variables, threshold=0.08, bucket=256,
+                              transfer_dtype="int16", transfer_features=3)
+    assert q.transfer_bytes(300) == 512 * 3 * 2      # bucket-padded, int16
+    assert base.transfer_bytes(300) == 512 * 4 * 4
+    elev1, lab1 = q.infer(pts)
+    # 4 mm quantization moves points by <= 2 mm; on a smooth plane the
+    # elevation map moves by the same order
+    np.testing.assert_allclose(elev1, elev0, atol=5e-2)
+    assert np.mean(lab1 == lab0) > 0.98
+
+    # infer_many: one stacked dispatch == per-scan results, bit-identical
+    scans = [plane_cloud(rng, n=300) for _ in range(3)]
+    many = q.infer_many(scans)
+    for scan, (elev_m, lab_m) in zip(scans, many):
+        elev_s, lab_s = q.infer(scan)
+        np.testing.assert_array_equal(lab_m, lab_s)
+        np.testing.assert_allclose(elev_m, elev_s, atol=1e-6)
+
+    with pytest.raises(ValueError):
+        GroundInferenceEngine(CFG, variables, transfer_features=2)
+    with pytest.raises(ValueError):
+        q.infer_many([plane_cloud(rng, n=300), plane_cloud(rng, n=600)])
+
+
 def test_engine_segments_obstacles_from_plane(rng):
     """With a zero elevation prediction the engine must mark high points as
     obstacles; use an untrained model but check label consistency against the

@@ -238,6 +238,122 @@ def test_train_mode_runs_and_updates_stats(rng):
     assert not np.allclose(np.asarray(before), np.asarray(after))
 
 
+def test_pfn_use_norm_train_matches_torch_and_bounds_divisor_deviation(rng):
+    """use_norm=True train-mode BN pinned against torch BatchNorm1d, and the
+    documented divisor deviation (docs/PARITY.md known #6) MEASURED.
+
+    The reference normalizes the dynamic (M_actual, P, C) pillar tensor
+    (modules/pointpillars.py:55 — BatchNorm1d over M_actual*P rows); our
+    fixed-shape path normalizes the static (max_voxels, P, C) tensor whose
+    padding rows are zeros (no-bias linear), so the batch statistics get a
+    static divisor: mean_static = fill * mean_dynamic with
+    fill = M_actual/max_voxels.  This test proves, with one torch oracle on
+    each tensor:
+
+      a. our BN MATH is exactly torch's (our output == torch on the SAME
+         padded tensor, and our running-stat update == flax-vs-torch up to
+         torch's Bessel-corrected running var);
+      b. the deviation from the reference is EXACTLY the divisor and
+         nothing else (torch on the dynamic tensor == a numpy re-norm of
+         the same linear output with dynamic-divisor statistics);
+      c. its magnitude at fill=0.625 is measured and bounded.
+    """
+    units, cin, P = 32, 9, 20
+    m_actual, m_total = 40, 64
+    n_s, n_d = m_total * P, m_actual * P
+
+    counts = rng.integers(1, P + 1, size=m_actual)
+    dec = np.zeros((m_total, P, cin), np.float32)
+    for i, c in enumerate(counts):
+        dec[i, :c] = rng.normal(size=(c, cin)).astype(np.float32)
+
+    w = rng.normal(0, 0.3, size=(cin, units)).astype(np.float32)
+    scale = rng.uniform(0.5, 1.5, units).astype(np.float32)
+    bias = rng.normal(0, 0.2, units).astype(np.float32)
+    rm0 = rng.normal(0, 0.2, units).astype(np.float32)
+    rv0 = rng.uniform(0.5, 1.5, units).astype(np.float32)
+
+    def torch_pfn(x_np):
+        """Fresh torch PFNLayer forward in train mode; returns
+        (pillar max (M, units), running_mean, running_var)."""
+        lin = torch.nn.Linear(cin, units, bias=False)
+        bn = torch.nn.BatchNorm1d(units, eps=1e-3, momentum=0.01)
+        with torch.no_grad():
+            lin.weight.copy_(torch.from_numpy(w.T))
+            bn.weight.copy_(torch.from_numpy(scale))
+            bn.bias.copy_(torch.from_numpy(bias))
+            bn.running_mean.copy_(torch.from_numpy(rm0))
+            bn.running_var.copy_(torch.from_numpy(rv0))
+        bn.train()
+        with torch.no_grad():
+            z = lin(torch.from_numpy(x_np))
+            z = bn(z.permute(0, 2, 1)).permute(0, 2, 1)
+            out = F.relu(z).max(dim=1)[0]
+        return (out.numpy(), bn.running_mean.numpy().copy(),
+                bn.running_var.numpy().copy())
+
+    from gndnet_tpu.models.pfn import PFNLayer
+
+    layer = PFNLayer(out_channels=units, use_norm=True, last_layer=True)
+    variables = {
+        "params": {"linear": {"kernel": jnp.asarray(w)},
+                   "norm": {"scale": jnp.asarray(scale),
+                            "bias": jnp.asarray(bias)}},
+        "batch_stats": {"norm": {"mean": jnp.asarray(rm0),
+                                 "var": jnp.asarray(rv0)}},
+    }
+    ours3, mut = layer.apply(variables, jnp.asarray(dec), train=True,
+                             mutable=["batch_stats"])
+    ours = np.asarray(ours3)[:, 0]                       # (m_total, units)
+
+    # (a) same padded tensor -> bit-level agreement with torch
+    want_pad, rm_t, rv_t = torch_pfn(dec)
+    np.testing.assert_allclose(ours, want_pad, rtol=1e-5, atol=1e-6)
+
+    z = (dec.reshape(-1, cin) @ w).astype(np.float32)    # (n_s, units)
+    bm = z.mean(axis=0)
+    bv = np.square(z).mean(axis=0) - np.square(bm)       # biased
+    got_rm = np.asarray(mut["batch_stats"]["norm"]["mean"])
+    got_rv = np.asarray(mut["batch_stats"]["norm"]["var"])
+    np.testing.assert_allclose(got_rm, 0.99 * rm0 + 0.01 * bm,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rm_t, got_rm, rtol=1e-5, atol=1e-6)
+    # torch's running var carries the Bessel correction (unbiased batch
+    # var); flax stores the biased one — a 1/(n-1) relative difference
+    # (~8e-4 here, ~1e-6 at real kitti_sem sizes), documented PARITY #6
+    np.testing.assert_allclose(got_rv, 0.99 * rv0 + 0.01 * bv,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        rv_t, 0.99 * rv0 + 0.01 * bv * n_s / (n_s - 1), rtol=1e-5, atol=1e-6)
+
+    # (b) the reference's dynamic-M semantics == divisor swap, nothing else
+    want_dyn, _, _ = torch_pfn(dec[:m_actual])
+    zd = z.reshape(m_total, P, units)[:m_actual].reshape(-1, units)
+    md = zd.mean(axis=0)
+    vd = np.square(zd).mean(axis=0) - np.square(md)
+    fill = m_actual / m_total
+    np.testing.assert_allclose(bm, md * fill, rtol=1e-4, atol=1e-6)
+
+    def norm_out(x3d, mean, var):
+        y = (x3d - mean) * scale / np.sqrt(var + 1e-3) + bias
+        return np.maximum(y, 0.0).max(axis=1)
+
+    z3 = z.reshape(m_total, P, units)
+    np.testing.assert_allclose(norm_out(z3, bm, bv), ours,
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(norm_out(z3[:m_actual], md, vd), want_dyn,
+                               rtol=1e-4, atol=1e-5)
+
+    # (c) measured magnitude of the deviation at fill=0.625 (this data):
+    # 1.88 max-abs on ~O(3) activations — NOT small.  The dilution scales
+    # normalized pre-activations by ~sqrt(fill), so use_norm training at
+    # partial pillar occupancy genuinely differs from the reference; the
+    # learned affine can absorb a STATIC fill ratio, but per-batch fill
+    # variation leaks.  All shipped configs use use_norm=false (PARITY #6).
+    dev = np.max(np.abs(ours[:m_actual] - want_dyn))
+    assert 1.5 < dev < 2.2, f"divisor deviation {dev}"
+
+
 @pytest.mark.slow
 def test_multi_layer_pfn_forward_and_grad(rng):
     """vfe_filters with >1 layer (the reference supports stacks via
