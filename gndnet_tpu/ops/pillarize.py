@@ -35,6 +35,7 @@ control flow).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -644,7 +645,9 @@ def affine_canvas(
     cotangents w.r.t. `points` are defined as ZERO, matching the reference,
     which never backprops into the cloud.  A caller that needs point
     gradients (input-sensitivity analysis) must pass use_pallas=False to
-    get XLA autodiff through the scan path instead of silent zeros.
+    get XLA autodiff through the scan path instead of silent zeros — on
+    the CPU backend (or at sub-32-bit compute) only: the f32 XLA scan
+    graph is guarded off on TPU (ValueError; docs/PARITY.md known #10).
 
     Returns (B, ny, nx, C) canvas in compute_dtype.
     """
@@ -658,6 +661,29 @@ def affine_canvas(
         # callers get the custom-VJP wrapper (parameter grads only — point
         # cotangents are defined as zero, see pallas_affine._make_scan_gather)
         use_pallas = interpret or jax.default_backend() == "tpu"
+    if (not use_pallas and not interpret
+            and jnp.dtype(compute_dtype).itemsize >= 4
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("GNDNET_ALLOW_TPU_F32_XLA_SCAN")):
+        # The f32 XLA scan graph hits a super-linear fusion/scheduling
+        # blowup in XLA's TPU pipeline (the isolated (N, 64) tuple-carry
+        # segmented scan compiles in 2.6 s, one extra producer makes it
+        # 65 s, the full graph hangs 40+ min — scripts/probe_f32_compile.py;
+        # structural, not size-gated).  Fail fast instead of hanging the
+        # process: the supported f32 paths on TPU are the default pallas
+        # kernel (bit-pinned vs CPU XLA by scripts/verify_tpu.py) and, for
+        # XLA autodiff / point gradients, the CPU backend or the scatter
+        # impl.  docs/PARITY.md known #10.
+        raise ValueError(
+            "affine_canvas(use_pallas=False) with a >=32-bit compute dtype "
+            "is not supported on the TPU backend: XLA's TPU pipeline hangs "
+            "compiling the f32 segmented-scan graph at realistic sizes "
+            "(docs/PARITY.md known #10). Use the default pallas path, the "
+            "CPU backend, or fused_impl='scatter'. This trace-time check "
+            "sees only the PROCESS default backend: if your jit explicitly "
+            "targets another backend (jit(..., backend='cpu')), or you "
+            "accept the hang risk under a watchdog, set "
+            "GNDNET_ALLOW_TPU_F32_XLA_SCAN=1.")
 
     mmat, w_clu, w_cen, bias = affine_pfn_weights(
         kernel, bias, points.shape[1], geom, with_distance)

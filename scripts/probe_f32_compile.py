@@ -11,11 +11,16 @@ Stage 2 (this file): compile PREFIXES of the real affine_canvas XLA path
 case, to find the first prefix that hangs.
 """
 
+import os
 import signal
 import sys
 import time
 
 sys.path.insert(0, ".")
+
+# this probe intentionally compiles the guarded-off f32 XLA path on TPU
+# (affine_canvas raises without it — docs/PARITY.md known #10)
+os.environ["GNDNET_ALLOW_TPU_F32_XLA_SCAN"] = "1"
 
 import numpy as np  # noqa: E402
 

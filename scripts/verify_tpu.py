@@ -52,6 +52,12 @@ def main():
     # backend init); the f32 XLA references compile there — see module
     # docstring for the TPU-pipeline compile-blowup finding
     jax.config.update("jax_platforms", "axon,cpu")
+    # affine_canvas's trace-time guard against the TPU f32 XLA compile
+    # hang only sees the PROCESS default backend (tpu here); every
+    # use_pallas=False f32 jit in this script explicitly targets
+    # backend="cpu", so the guarded compile never happens — opt out
+    # (docs/PARITY.md known #10)
+    os.environ["GNDNET_ALLOW_TPU_F32_XLA_SCAN"] = "1"
     import jax.numpy as jnp
 
     from gndnet_tpu.config import kitti_sem_config

@@ -619,6 +619,34 @@ def test_affine_large_grid_uses_pallas_histogram(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_affine_canvas_f32_xla_guarded_off_on_tpu(rng, monkeypatch):
+    """The f32 XLA scan path raises on the TPU backend instead of hanging
+    XLA's TPU compile pipeline (docs/PARITY.md known #10); bf16 and the
+    env bypass stay callable."""
+    from gndnet_tpu.ops.pillarize import affine_canvas, bin_points_batch
+
+    pts = np.stack([make_cloud(rng, n=200)])
+    ctx = bin_points_batch(jnp.asarray(pts), GEOM)
+    flat = jnp.asarray(pts.reshape(-1, 4))
+    w = jnp.asarray(rng.normal(size=(9, 16)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.1)
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("GNDNET_ALLOW_TPU_F32_XLA_SCAN", raising=False)
+    with pytest.raises(ValueError, match="not supported on the TPU"):
+        affine_canvas(flat, ctx, GEOM, 5, w, b, use_pallas=False)
+    # bf16 compute never builds the f32 scan graph — not guarded (it still
+    # EXECUTES on the real cpu backend here; only the dispatch decision
+    # sees the patched name)
+    out = affine_canvas(flat, ctx, GEOM, 5, w, b, use_pallas=False,
+                        compute_dtype=jnp.bfloat16, precision="default")
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # explicit escape hatch for the compile-blowup probe
+    monkeypatch.setenv("GNDNET_ALLOW_TPU_F32_XLA_SCAN", "1")
+    out = affine_canvas(flat, ctx, GEOM, 5, w, b, use_pallas=False)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def test_affine_pallas_three_feature_points(rng):
     """camera-config shape: 3-feature (x, y, z) points exercise the A<4
     zero-row pad of the slim kernel inputs; pallas-interpret must match the
