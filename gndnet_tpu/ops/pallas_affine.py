@@ -618,9 +618,15 @@ def _bwd_dmmat_kernel(both_ref, pts_ref, out_ref, *,
     MXU.
 
     both_ref is the gathered (chunk, 2C) f32 table tile
-    [bitcast(argpos i32) | d_smax]: row p's first half holds, per channel,
-    the stream position of its cell's first kept max row (from the forward
-    kernel's want_argmax scan).  d(a)[p, c] = d_smax[cell_p, c] iff
+    [float(argpos) | d_smax]: row p's first half holds, per channel, the
+    stream position of its cell's first kept max row (from the forward
+    kernel's want_argmax scan) as an EXACT integer-valued f32 (stream
+    length is guarded < 2**24, so the convert round-trips bit-exactly).
+    Positions must NOT ride as an int32->f32 BITCAST: positions < 2**23
+    are denormal f32 bit patterns, and XLA:TPU's concatenate lowering
+    flushes denormal lanes to zero (fusion-dependent in larger graphs) —
+    measured on a v5e by scripts/probe_argpos.py + /tmp denorm repro,
+    round 4; it silently re-routed cotangents to stream position 0.  d(a)[p, c] = d_smax[cell_p, c] iff
     p == argpos[cell_p, c] — exact torch.max first-winner semantics, no
     activation recompute, no tolerance window, robust to any compiler
     reduction-order divergence.  Replaces the XLA chain gather -> relayout
@@ -630,7 +636,7 @@ def _bwd_dmmat_kernel(both_ref, pts_ref, out_ref, *,
     i = pl.program_id(0)
     both = both_ref[...]                      # (chunk, 2C) f32
     width = both.shape[1] // 2
-    argpos = jax.lax.bitcast_convert_type(both[:, :width], jnp.int32)
+    argpos = both[:, :width].astype(jnp.int32)
     ds = both[:, width:]
     pts = pts_ref[...]                        # (A, chunk) f32
     row = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
@@ -659,7 +665,7 @@ def affine_bwd_dmmat(cell_sorted: jax.Array, both: jax.Array,
                      interpret: bool = False) -> jax.Array:
     """d(mmat_t) for the affine segment-max: one fused pass over the sorted
     stream.  `both` is the per-point (N, 2C) gathered f32 payload
-    [bitcast(argpos) | d_smax] (see _make_scan_gather.bwd); `width` = C.
+    [float(argpos) | d_smax] (see _make_scan_gather.bwd); `width` = C.
     `cell_sorted` is unused by the kernel (selection is by position
     equality) but kept in the signature as the stream-defining operand for
     symmetry with the forward.  Returns (C, A) f32."""
@@ -808,12 +814,19 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
         # position and the cotangent: TPU row gathers at this size are
         # per-ROW bound (~2.6 ns/row on v5e, flat from 64- to 128-wide
         # rows), so one wide gather costs half of two narrow ones.  The
-        # positions ride as a BITCAST to f32 so both halves share one
-        # dtype (width is free for the gather; the kernel bitcasts back).
-        # The drop-slot zero row decodes to argpos 0 with d_smax 0, so
-        # drop/pad rows contribute nothing.
+        # positions ride as EXACT integer-valued f32 (convert, not
+        # bitcast: positions < 2**23 are denormal f32 bit patterns and
+        # XLA:TPU's concatenate flushes denormal lanes to zero — see
+        # _bwd_dmmat_kernel's docstring; convert is exact below 2**24,
+        # guarded here).  The drop-slot zero row decodes to argpos 0 with
+        # d_smax 0, so drop/pad rows contribute nothing.
+        if cell_s.shape[0] >= (1 << 24):  # static shape: trace-time check
+            raise ValueError(
+                "affine custom-VJP backward encodes argmax positions as "
+                f"exact f32; stream length {cell_s.shape[0]} >= 2**24 "
+                "would round them — split the batch")
         both = pad_table(jnp.concatenate(
-            [jax.lax.bitcast_convert_type(argpos_g, jnp.float32),
+            [argpos_g.astype(jnp.float32),
              d_max_g.astype(jnp.float32)], axis=-1))[cell_s]
 
         # everything after the gather — the position-equality mask and the

@@ -13,14 +13,22 @@ Checks:
   2. Same in serving bf16.
   3. d(kernel) from the COMPILED Mosaic custom-VJP == the same custom-VJP
      graph in interpret mode on the same TPU backend (Mosaic lowering
-     check), plus a LOOSE 0.15-rel gate vs CPU XLA autodiff on the real
-     scan (argmax winners between near-tied points flip with last-ULP
-     backend rounding — a valid subgradient either way, ~4.7e-2 rel; real
-     mis-routing bugs measure ~0.44).
+     check), plus a 1e-3-rel gate vs CPU XLA autodiff on the real scan.
+     At f32/'highest' the forward activations are BIT-equal across
+     backends (probe_argpos.py), so no argmax winner flips occur and the
+     true cross-backend delta is dot-order noise (~4e-7 rel; the 4.7e-2
+     once blamed on winner flips was the denormal-flush routing bug
+     below — real mis-routing measures 1e-2..0.44).
   4. TIGHT cotangent-routing gate on a duplicate-only fixture where
      argmax ties are exact ties between identical rows — immune to winner
      flips by construction, fails loudly on cotangent
-     duplication/mis-routing/drops.
+     duplication/mis-routing/drops.  This gate caught a real one (round
+     4): argmax positions rode the backward's payload gather as an
+     int32->f32 BITCAST, and XLA:TPU's concatenate flushes denormal f32
+     lanes (any position < 2**23) to zero — cotangents silently re-routed
+     to stream position 0 (1.7e-2 rel d(kernel) on this fixture, both
+     compiled and interpret, TPU only).  Fixed by encoding positions as
+     exact integer-valued f32 (pallas_affine._make_scan_gather.bwd).
 Exit code 0 iff all checks pass.
 
 The f32 XLA references compile on the CPU backend, not the TPU: XLA's TPU
@@ -152,33 +160,27 @@ def main():
         return jax.jit(jax.grad(loss), backend=backend)
 
     # Grad check: COMPILED Mosaic custom-VJP vs the SAME graph in interpret
-    # mode on the SAME TPU backend — this isolates exactly what the script
-    # exists to catch (Mosaic lowering bugs; measured 1.8e-7 rel).  A
-    # cross-BACKEND comparison is intentionally NOT a gate here: the max
-    # argmax winner between near-tied distinct points flips with last-ULP
-    # backend rounding ('highest' on TPU is the 6-pass algorithm, CPU is
-    # native FMA), moving the per-cell gradient row — a valid subgradient
-    # either way; measured ~4.7e-2 rel on the fixture, reported for info.
-    # The first-winner-vs-autodiff-tie-split SEMANTICS are pinned on CPU
-    # by tests/test_pillarize.py's duplicate-heavy grad-parity test.
+    # mode on the SAME TPU backend — isolates Mosaic lowering bugs
+    # (measured 1.2e-7 rel).  The first-winner-vs-autodiff-tie-split
+    # SEMANTICS are pinned on CPU by tests/test_pillarize.py's
+    # duplicate-heavy grad-parity test.
     g_pl = np.asarray(loss_of(True, "tpu")(mk), np.float32)
     g_int = np.asarray(loss_of(True, "tpu", interpret=True)(mk), np.float32)
     scale = float(np.max(np.abs(g_int))) + 1e-12
     check("d(kernel) Mosaic-VJP vs interpret (tpu, rel)",
           g_pl / scale, g_int / scale, 3e-3)
-    # Cross-backend vs CPU XLA autodiff: argmax winners between NEAR-tied
-    # distinct points flip with last-ULP backend rounding ('highest' on
-    # TPU is the 6-pass algorithm, CPU is native FMA) and move the
-    # per-cell gradient row — a valid subgradient either way, measured
-    # ~4.7e-2 rel on the real fixture.  Gated LOOSELY at 0.15 rel: tie
-    # flips sit ~3x below, while the class of real bug this catches
-    # (cotangent duplication/mis-routing — the pre-fix tie double-count
-    # measured 0.44 rel on this same input) sits ~3x above.  Check 4 is
-    # the tight discriminator.
+    # Cross-backend vs CPU XLA autodiff on the real scan.  At
+    # f32/'highest' the forward activations are BIT-equal across backends
+    # (probe_argpos.py compared the scan outputs bitwise), so argmax
+    # winner flips do not occur and the honest delta is dot-ORDER noise
+    # in the two (C, A) contractions: measured 4.2e-7 rel.  Gated at
+    # 1e-3 (~2000x headroom over noise; the two real routing bugs this
+    # path has had measured 1.7e-2 [denormal-flushed bitcast positions]
+    # and 0.44 [tie double-count] on this class of input).
     g_xla = np.asarray(loss_of(False, "cpu")(np.asarray(mk)), np.float32)
     xscale = float(np.max(np.abs(g_xla))) + 1e-12
     check("d(kernel) vs CPU XLA autodiff (real scan, rel)",
-          g_pl / xscale, g_xla / xscale, 0.15)
+          g_pl / xscale, g_xla / xscale, 1e-3)
 
     # 4: TIGHT cotangent-routing gate on a fixture built so that CPU and
     # TPU compute BIT-IDENTICAL activations — then any cross-backend
