@@ -286,7 +286,12 @@ class GroundInferenceEngine:
         pts[:, 1] = rng.uniform(self.cfg.pc_range[1], self.cfg.pc_range[4], n)
         pts[:, 2] = -self.cfg.lidar_height
         t0 = time.time()
-        pred, labels = self._fn(self._variables, self._pad(pts))
+        # _prepare (not _pad): it slices to transfer_features — _pad alone
+        # would ship the full-width cloud and the device-side zero-fill
+        # would then overshoot input_features (caught by bench --mode
+        # stream --features 3)
+        padded, _ = self._prepare(pts)
+        pred, labels = self._fn(self._variables, padded)
         jax.block_until_ready((pred, labels))
         return time.time() - t0
 

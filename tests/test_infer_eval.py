@@ -116,6 +116,12 @@ def test_engine_transfer_variants_and_infer_many(rng):
     with pytest.raises(ValueError):
         q.infer_many([plane_cloud(rng, n=300), plane_cloud(rng, n=600)])
 
+    # warmup must slice to transfer_features too (it once shipped the full
+    # input_features width, which double-padded on device and crashed the
+    # feature-pruned streaming path — caught by bench --mode stream
+    # --features 3)
+    assert q.warmup(n=300) >= 0.0
+
 
 def test_engine_segments_obstacles_from_plane(rng):
     """With a zero elevation prediction the engine must mark high points as
