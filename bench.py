@@ -147,7 +147,10 @@ def bench_e2e(cfg, variables, iters: int, int16: bool = False,
     scans = [scan + np.float32(i * 1e-4) for i in range(min(iters, 32))]
     budget = transfer_budget(engine, cfg, scan.shape[0])
     if burst > 1:
-        engine.infer_many(scans[:burst])  # compile
+        # warm up with the SAME stack size K=burst as the timed loop (a
+        # shorter scans[:burst] would recompile inside the timed region
+        # whenever burst > len(scans))
+        engine.infer_many([scans[j % len(scans)] for j in range(burst)])
         n_bursts = max(1, iters // burst)
         t0 = time.perf_counter()
         done = 0

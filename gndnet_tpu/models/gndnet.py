@@ -71,7 +71,8 @@ class GroundEstimatorNet(nn.Module):
             cfg.max_points_voxel, with_distance=cfg.with_distance,
         )
         b, m, p, d = decorated.shape
-        pillar_feats = self.pfn(decorated.reshape(b * m, p, d), train=train)
+        pillar_feats = self.pfn(decorated.reshape(b * m, p, d), train=train,
+                                pillar_mask=mask.reshape(b * m))
         pillar_feats = pillar_feats.reshape(b, m, -1)
         # The reference scatters padding pillars too (they are zero rows at
         # canvas cell 0 before any real pillar writes); we mask them instead.
@@ -104,7 +105,16 @@ class GroundEstimatorNet(nn.Module):
                 flat_points, ctx, geom, cfg.max_points_voxel,
                 with_distance=cfg.with_distance,
                 exact_point_cap=cfg.exact_point_cap)
-            total_rows = points.shape[0] * cfg.max_voxels * cfg.max_points_voxel
+            # Reference BatchNorm1d divisor: the DYNAMIC actual-pillar count
+            # x max_points (modules/pointpillars.py:55).  Occupied cells per
+            # scan, capped at max_voxels (the reference drops pillars past
+            # capacity before BN sees them; the fused stream has no voxel
+            # cap, so beyond-capacity occupancy is already a documented
+            # forward deviation — docs/PARITY.md known #1).
+            occ = (cell_count > 0).reshape(points.shape[0], -1)
+            n_pillars = jnp.sum(jnp.minimum(
+                occ.sum(axis=1), cfg.max_voxels))
+            total_rows = n_pillars * cfg.max_points_voxel
             acts, pad_floor = layer.activate_flat_bn_train(
                 decorated, total_rows)
             canvas = pz.canvas_from_activations(

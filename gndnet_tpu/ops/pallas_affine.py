@@ -785,6 +785,12 @@ def _make_scan_gather(max_points, out_dtype, chunk, interpret,
             key_g = key_nc[ends]                       # (b*c3, C) i32
             mono = key_g >> 12
             bits = jnp.where(mono >= 32768, mono - 32768, 65535 - mono)
+            # HAZARD: XLA:TPU's `concatenate` flushes denormal lanes of
+            # bitcast-produced floats (docs/KERNELS.md "Denormal bit-pattern
+            # hazard") — max_g may hold denormal bf16 bit patterns here.
+            # Never route max_g through a concatenate; keep consumers
+            # elementwise/gather-only (today its only consumer is the fwd
+            # output epilogue).
             max_g = jax.lax.bitcast_convert_type(
                 bits.astype(jnp.uint16), out_dtype)    # exact inverse
             argpos_g = starts[:, None] + (4095 - (key_g & 4095))

@@ -65,7 +65,9 @@ def _synthetic_scan(cfg, n=512, seed=0):
     pts = np.empty((n, 4), np.float32)
     pts[:, :3] = rng.uniform(lo + 0.01, hi - 0.01, size=(n, 3))
     pts[:, 3] = rng.uniform(0, 1, size=n)
-    return pts[:, :cfg.input_features + 1] if cfg.input_features == 3 else pts
+    # 3-feature configs (camera/custom) consume (N, 3) xyz clouds — same
+    # column convention as bench.load_scan (pts[:, :cfg.input_features])
+    return pts[:, :cfg.input_features]
 
 
 def test_reference_yaml_geometry_pillarizes(ref_yaml):

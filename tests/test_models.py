@@ -239,24 +239,24 @@ def test_train_mode_runs_and_updates_stats(rng):
 
 
 def test_pfn_use_norm_train_matches_torch_and_bounds_divisor_deviation(rng):
-    """use_norm=True train-mode BN pinned against torch BatchNorm1d, and the
-    documented divisor deviation (docs/PARITY.md known #6) MEASURED.
+    """use_norm=True train-mode BN pinned against torch BatchNorm1d,
+    REFERENCE-EXACT with the dynamic divisor.
 
     The reference normalizes the dynamic (M_actual, P, C) pillar tensor
-    (modules/pointpillars.py:55 — BatchNorm1d over M_actual*P rows); our
-    fixed-shape path normalizes the static (max_voxels, P, C) tensor whose
-    padding rows are zeros (no-bias linear), so the batch statistics get a
-    static divisor: mean_static = fill * mean_dynamic with
-    fill = M_actual/max_voxels.  This test proves, with one torch oracle on
-    each tensor:
+    (modules/pointpillars.py:55 — BatchNorm1d over M_actual*P rows).  Our
+    fixed-shape path carries a `pillar_mask`: sums run over real pillars'
+    rows only and the divisor is the traced M_actual*P scalar, so the
+    statistics ARE the reference's.  This test proves, with one torch
+    oracle on each tensor:
 
-      a. our BN MATH is exactly torch's (our output == torch on the SAME
-         padded tensor, and our running-stat update == flax-vs-torch up to
-         torch's Bessel-corrected running var);
-      b. the deviation from the reference is EXACTLY the divisor and
-         nothing else (torch on the dynamic tensor == a numpy re-norm of
-         the same linear output with dynamic-divisor statistics);
-      c. its magnitude at fill=0.625 is measured and bounded.
+      a. without a mask, our BN MATH is exactly torch's on the SAME padded
+         tensor (output + running-stat update, up to torch's
+         Bessel-corrected running var — PARITY.md's flax footnote);
+      b. WITH the pillar mask, our output and running stats match torch on
+         the reference's dynamic tensor at ~1e-5 (VERDICT r4 item 3);
+      c. the old static-divisor behavior (mask-less at partial fill) is
+         measurably different — the regression guard that the mask path
+         actually changes the statistics.
     """
     units, cin, P = 32, 9, 20
     m_actual, m_total = 40, 64
@@ -326,32 +326,35 @@ def test_pfn_use_norm_train_matches_torch_and_bounds_divisor_deviation(rng):
     np.testing.assert_allclose(
         rv_t, 0.99 * rv0 + 0.01 * bv * n_s / (n_s - 1), rtol=1e-5, atol=1e-6)
 
-    # (b) the reference's dynamic-M semantics == divisor swap, nothing else
-    want_dyn, _, _ = torch_pfn(dec[:m_actual])
+    # (b) REFERENCE-EXACT: pillar_mask -> dynamic divisor -> torch on the
+    # dynamic (m_actual, P, C) tensor, output AND running stats
+    want_dyn, rm_d, rv_d = torch_pfn(dec[:m_actual])
+    pmask = jnp.arange(m_total) < m_actual
+    ours_dyn3, mut_d = layer.apply(
+        variables, jnp.asarray(dec), train=True, pillar_mask=pmask,
+        mutable=["batch_stats"])
+    ours_dyn = np.asarray(ours_dyn3)[:, 0]
+    np.testing.assert_allclose(ours_dyn[:m_actual], want_dyn,
+                               rtol=1e-4, atol=1e-5)
     zd = z.reshape(m_total, P, units)[:m_actual].reshape(-1, units)
     md = zd.mean(axis=0)
     vd = np.square(zd).mean(axis=0) - np.square(md)
-    fill = m_actual / m_total
-    np.testing.assert_allclose(bm, md * fill, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mut_d["batch_stats"]["norm"]["mean"]),
+        0.99 * rm0 + 0.01 * md, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(rm_d, 0.99 * rm0 + 0.01 * md,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(mut_d["batch_stats"]["norm"]["var"]),
+        0.99 * rv0 + 0.01 * vd, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        rv_d, 0.99 * rv0 + 0.01 * vd * n_d / (n_d - 1), rtol=1e-5, atol=1e-6)
 
-    def norm_out(x3d, mean, var):
-        y = (x3d - mean) * scale / np.sqrt(var + 1e-3) + bias
-        return np.maximum(y, 0.0).max(axis=1)
-
-    z3 = z.reshape(m_total, P, units)
-    np.testing.assert_allclose(norm_out(z3, bm, bv), ours,
-                               rtol=1e-4, atol=1e-5)
-    np.testing.assert_allclose(norm_out(z3[:m_actual], md, vd), want_dyn,
-                               rtol=1e-4, atol=1e-5)
-
-    # (c) measured magnitude of the deviation at fill=0.625 (this data):
-    # 1.88 max-abs on ~O(3) activations — NOT small.  The dilution scales
-    # normalized pre-activations by ~sqrt(fill), so use_norm training at
-    # partial pillar occupancy genuinely differs from the reference; the
-    # learned affine can absorb a STATIC fill ratio, but per-batch fill
-    # variation leaks.  All shipped configs use use_norm=false (PARITY #6).
+    # (c) regression guard: the mask-less static divisor at fill=0.625
+    # dilutes statistics by ~sqrt(fill) — measurably different output.
+    # If this stops differing the mask path silently became a no-op.
     dev = np.max(np.abs(ours[:m_actual] - want_dyn))
-    assert 1.5 < dev < 2.2, f"divisor deviation {dev}"
+    assert dev > 0.5, f"static-divisor delta vanished: {dev}"
 
 
 @pytest.mark.slow

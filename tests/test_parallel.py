@@ -77,6 +77,49 @@ def test_dp_train_matches_single_device():
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
+def test_dp_use_norm_syncbn_unequal_fill_matches_single_device():
+    """use_norm=True sync-BN under dp with UNEQUAL per-device pillar counts
+    (VERDICT r4 item 7).  The dynamic BatchNorm divisor is the global
+    actual-pillar count (reference modules/pointpillars.py:55); sync-BN
+    psums per-device sums AND row counts, so a dp=4 step must reproduce the
+    single-device full-batch step exactly even when shards have wildly
+    different occupancy."""
+    rng = np.random.default_rng(21)
+    b, n = 4, 512
+    pts = np.zeros((b, n, 4), np.float32)
+    # scan i confined to x < 2+3.5*i: occupancy ~2 cells (scan 0) to ~full
+    # grid (scan 3) -> per-device pillar counts differ by ~8x under dp=4
+    for i in range(b):
+        hi = 2.0 + 3.5 * i
+        pts[i, :, 0] = rng.uniform(0.2, hi, n)
+        pts[i, :, 1] = rng.uniform(-7.8, 7.8, n)
+        pts[i, :, 2] = 0.05 * pts[i, :, 0] - 0.5 + rng.normal(0, 0.05, n)
+    labels = np.zeros((b, CFG.ny, CFG.nx), np.float32)
+    labels[:] = (0.05 * (np.arange(CFG.nx) + 0.5) - 0.5)[None, None, :]
+    pts, labels = jnp.asarray(pts), jnp.asarray(labels)
+
+    cfg = CFG.replace(use_norm=True)
+    model, tx, state0 = create_train_state(cfg, steps_per_epoch=10)
+    single = make_train_step(model, tx, cfg)
+    s1, l1 = single(jax.tree_util.tree_map(jnp.copy, state0), pts, labels)
+
+    mesh = make_mesh(dp=4, sp=1)
+    dp_step = make_dp_train_step(model, tx, cfg, mesh)
+    s2, l2 = dp_step(replicate(mesh, jax.tree_util.tree_map(jnp.copy, state0)),
+                     *shard_batch(mesh, (pts, labels)))
+    assert float(l2) == pytest.approx(float(l1), rel=1e-5)
+    for pa, pb in zip(jax.tree_util.tree_leaves(s1.params),
+                      jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-3, atol=1e-5)
+    bn1 = s1.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]
+    bn2 = s2.batch_stats["voxel_feature_extractor"]["pfn_0"]["norm"]
+    for key in ("mean", "var"):
+        np.testing.assert_allclose(np.asarray(bn2[key]), np.asarray(bn1[key]),
+                                   rtol=1e-4, atol=1e-6)
+
+
 def test_dp_eval_and_infer():
     pts, labels = batch(np.random.default_rng(8))
     model, tx, state = create_train_state(CFG, steps_per_epoch=10)
