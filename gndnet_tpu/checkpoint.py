@@ -179,6 +179,40 @@ def _prune(d):
 
 
 # ---------------------------------------------------------------------------
+# Sharded-restore templates
+# ---------------------------------------------------------------------------
+
+
+def abstract_sharded(tree, mesh, spec=None):
+    """Build a restore template that places every array leaf onto `mesh`.
+
+    Array leaves become `jax.ShapeDtypeStruct`s carrying a
+    `NamedSharding(mesh, spec)` (default: fully replicated — the layout of a
+    TrainState under dp x sp SPMD training, parallel/mesh.replicate), so
+    `CheckpointManager.restore(template=...)` materializes each leaf
+    directly as a sharded `jax.Array` on the target mesh — including
+    RE-sharding a checkpoint written from a different mesh layout (orbax
+    reads per-shard and reassembles).  Non-array leaves (step counters
+    saved as scalars restore as 0-d arrays; ints/floats/None pass through)
+    are returned unchanged.
+
+    This is the distributed-training resume story the reference never had
+    (its checkpoints were single-process torch.save, training.py:296-316);
+    required by our own multi-host path (parallel/multihost.py).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sharding = NamedSharding(mesh, PartitionSpec() if spec is None else spec)
+
+    def leaf(x):
+        if isinstance(x, jax.Array) or isinstance(x, np.ndarray):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+        return x
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
+# ---------------------------------------------------------------------------
 # Orbax-backed manager with latest/best retention
 # ---------------------------------------------------------------------------
 
@@ -221,11 +255,18 @@ class CheckpointManager:
                 os.kill(os.getpid(), signal.SIGINT)
 
     def save(self, step: int, state, is_best: bool = False) -> None:
-        """Save a pytree `state` at `step`; mirror to best/ when is_best."""
+        """Save a pytree `state` at `step`; mirror to best/ when is_best.
+
+        `state` may hold host values OR live (sharded/replicated) jax.Arrays
+        — orbax writes device arrays shard-by-shard with sharding metadata,
+        so a dp x sp TrainState saves without any host gather.  Under
+        multi-process SPMD (jax.distributed) every process must call save
+        with its view of the same global arrays; orbax coordinates the
+        write, and only process 0 mirrors the best/ copy."""
         with self._defer_sigint():
             self._mgr.save(step, args=ocp.args.StandardSave(state))
             self._mgr.wait_until_finished()
-            if is_best:
+            if is_best and jax.process_index() == 0:
                 src = os.path.join(self.directory, str(step))
                 if os.path.isdir(self._best_dir):
                     shutil.rmtree(self._best_dir)

@@ -215,6 +215,7 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
                        seed: int = 0,
                        train_skip: int = 6, valid_skip: int = 3,
                        augment: bool = False,
+                       dp: int = 1, sp: int = 1,
                        logger=None) -> dict:
     """Full training orchestration (reference training.py main loop:
     train -> validate -> scheduler step -> checkpoint-if-best, :284-305).
@@ -226,6 +227,17 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
     fold_in(PRNGKey(0), state.step): a fresh draw every optimizer step,
     deterministic across resumes since the step counter is checkpointed.
     Validation always runs unaugmented.
+
+    `dp`/`sp` > 1 train over a (dp, sp) jax.sharding.Mesh: batches are
+    dp-sharded, the pseudo-image is sp-sharded with halo exchange
+    (parallel/spatial.py), gradients and BN statistics sync over the mesh,
+    and the TrainState stays mesh-replicated — checkpoints save the sharded
+    arrays directly and resume restores onto the mesh
+    (checkpoint.abstract_sharded).  This is the in-library replacement for
+    the reference's Slurm scale-out (run_model_training_cluster.sh:1-17),
+    which launched INDEPENDENT 1-GPU runs.  sp > 1 requires use_norm=False;
+    cfg.batch_size must divide by dp.  Validation runs the single-program
+    eval step on the replicated state (exact, ragged-batch friendly).
 
     Returns {'train_loss': [...], 'valid_loss': [...], 'lowest_loss': float}.
     """
@@ -256,7 +268,29 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
     # (PFNLayer.activate_flat_bn_train; parity vs the pillar path is pinned
     # by test_use_norm_fused_train_matches_pillar_path).
     model, tx, state = create_train_state(cfg, steps_per_epoch, seed)
-    train_step = make_train_step(model, tx, cfg, augment=augment)
+
+    mesh = None
+    shard = lambda batch: batch
+    if dp * sp > 1:
+        from gndnet_tpu.parallel.mesh import (
+            make_dp_train_step, make_mesh, replicate, shard_batch)
+        from gndnet_tpu.parallel.spatial import make_spmd_train_step
+
+        if cfg.batch_size % dp:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide by dp={dp}")
+        mesh = make_mesh(dp=dp, sp=sp)
+        logger.info("mesh: dp=%d x sp=%d over %d devices", dp, sp, dp * sp)
+        state = replicate(mesh, state)
+        if sp > 1:
+            train_step = make_spmd_train_step(model, tx, cfg, mesh,
+                                              augment=augment)
+        else:
+            train_step = make_dp_train_step(model, tx, cfg, mesh,
+                                            augment=augment)
+        shard = lambda batch: shard_batch(mesh, batch)
+    else:
+        train_step = make_train_step(model, tx, cfg, augment=augment)
     eval_step = make_eval_step(model, cfg)
 
     mgr = CheckpointManager(os.path.join(workdir, "checkpoints")) \
@@ -269,7 +303,15 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
         rmgr = mgr if mgr is not None else CheckpointManager(
             os.path.join(workdir, "checkpoints"))
         if rmgr.latest_step() is not None:
-            template = {"state": state, "epoch": 0, "lowest_loss": 0.0}
+            if mesh is not None:
+                from gndnet_tpu.checkpoint import abstract_sharded
+
+                # restore straight onto the mesh (re-sharding from any
+                # saved layout); scalars stay concrete
+                template = {"state": abstract_sharded(state, mesh),
+                            "epoch": 0, "lowest_loss": 0.0}
+            else:
+                template = {"state": state, "epoch": 0, "lowest_loss": 0.0}
             restored = rmgr.restore(template=template)
             state = restored["state"]
             start_epoch = int(restored["epoch"])
@@ -287,7 +329,7 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
             seed=seed, epoch=epoch))
         for i, (points, labels) in enumerate(it):
             data_time.update(time.time() - start)
-            state, loss = train_step(state, points, labels)
+            state, loss = train_step(state, *shard((points, labels)))
             meter.update(float(loss), points.shape[0])
             batch_time.update(time.time() - start)
             start = time.time()
@@ -308,9 +350,13 @@ def train_and_evaluate(cfg: GndNetConfig, workdir: str = ".",
         is_best = vavg < lowest_loss
         lowest_loss = min(vavg, lowest_loss)
         if mgr is not None:
+            # mesh runs save the live sharded/replicated arrays directly
+            # (orbax writes shard-by-shard, no host gather); single-device
+            # runs keep the host-gathered layout
+            saved = state if mesh is not None else jax.device_get(state)
             mgr.save(
                 epoch + 1,
-                {"state": jax.device_get(state), "epoch": epoch + 1,
+                {"state": saved, "epoch": epoch + 1,
                  "lowest_loss": lowest_loss},
                 is_best=is_best)
 

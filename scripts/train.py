@@ -52,6 +52,17 @@ def main():
                         "are deterministic).  Replaces the reference's "
                         "pre-augmented dataset generation "
                         "(dataset_augmentation.py:49-70)")
+    p.add_argument("--dp", type=int, default=None,
+                   help="data-parallel mesh size (default: all visible "
+                        "devices / sp).  dp*sp > 1 trains over a "
+                        "jax.sharding.Mesh with dp-sharded batches, synced "
+                        "gradients/BN, and mesh-sharded checkpoints — the "
+                        "in-library replacement for the reference's Slurm "
+                        "scale-out (run_model_training_cluster.sh)")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial-parallel mesh size: pseudo-image height "
+                        "sharded with halo exchange (parallel/spatial.py); "
+                        "requires use_norm=false")
     p.add_argument("--cache_dir", default=None,
                    help="persistent XLA compilation-cache directory: later "
                         "runs of the same program skip the 75-150 s first "
@@ -79,12 +90,19 @@ def main():
     logger = setup_logger("train", os.path.join(args.workdir, "training.log"))
     logger.info("config: %s", args.config)
 
+    sp = args.sp
+    dp = args.dp
+    if dp is None:
+        import jax
+
+        dp = max(jax.device_count() // sp, 1)
+
     if args.evaluate:
         hist = train_and_evaluate(
             cfg, workdir=args.workdir, epochs=0, resume=True,
             save_checkpoints=False, print_freq=args.print_freq,
             seed=args.seed, train_skip=args.train_skip,
-            valid_skip=args.valid_skip, logger=logger)
+            valid_skip=args.valid_skip, dp=dp, sp=sp, logger=logger)
         logger.info("validation only: loss %.6f", hist["valid_loss"][-1])
         return
 
@@ -92,7 +110,8 @@ def main():
         cfg, workdir=args.workdir, epochs=args.epochs, resume=args.resume,
         save_checkpoints=args.save_checkpoints, print_freq=args.print_freq,
         seed=args.seed, train_skip=args.train_skip,
-        valid_skip=args.valid_skip, augment=args.augment, logger=logger)
+        valid_skip=args.valid_skip, augment=args.augment,
+        dp=dp, sp=sp, logger=logger)
     logger.info("done: lowest validation loss %.6f", hist["lowest_loss"])
 
 
