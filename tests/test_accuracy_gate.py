@@ -55,3 +55,58 @@ def test_accuracy_gate_smoke(reference_fixture_dir):
     # ride along in the same report
     for k in ("iou_before", "iou", "precision", "recall"):
         assert 0.0 <= res[k] <= 1.0, (k, res)
+
+
+@pytest.mark.slow
+def test_accuracy_report_carries_threshold_sweep_and_gates(
+        reference_fixture_dir):
+    """The accuracy report scores the reference's three operating points
+    (0 / 0.08 / 0.16 — evaluate_SemanticKITTI.py:189, predict_ground.py:168,
+    ros_node.py:274) and gates IoU/precision/recall, not just RMSE
+    (VERDICT r4 item 6)."""
+    cfg = kitti_sem_config().replace(
+        fused_impl="scatter", compute_dtype="float32",
+        matmul_precision="default", num_points=2048, batch_size=4,
+        voxel_size=(2.0, 2.0, 8.0))
+    clouds, labels = bench.load_fixture_frames(cfg, num_points=2048)
+    labels_2x = labels.reshape(5, 50, 2, 50, 2).mean(axis=(2, 4))
+    res = bench.bench_accuracy(cfg, epochs=2, frames=(clouds, labels_2x))
+    assert set(res["threshold_sweep"]) == {"thr_0", "thr_0.08", "thr_0.16"}
+    for d in res["threshold_sweep"].values():
+        assert set(d) == {"iou", "precision", "recall"}
+        assert all(0.0 <= v <= 1.0 for v in d.values())
+    for g in ("gate_m", "gate_iou", "gate_precision", "gate_recall"):
+        assert g in res
+    # passed ANDs all four gates (untrained 2-epoch model: just check type)
+    assert isinstance(res["passed"], bool)
+
+
+def test_perf_model_kitti_flops_and_accounting():
+    """Analytic FLOPs model vs a by-hand count at kitti_sem (the VERDICT's
+    ~17.8 GFLOP/scan estimate), and the accounting dict's arithmetic."""
+    from gndnet_tpu.utils.perf_model import (
+        min_hbm_bytes_per_scan, model_flops_per_scan, perf_accounting,
+        train_flops_per_scan)
+
+    cfg = kitti_sem_config()
+    flops = model_flops_per_scan(cfg)
+    # by hand: PFN 100k x 9 x 64 x 2 + segnet 18 x sum(h*w*cin*cout)
+    pfn = 2.0 * 100000 * 9 * 64
+    seg = 18.0 * (100 * 100 * (64 * 128 + 128 * 128 + 128 * 128 +
+                               128 * 64 + 64 * 1)
+                  + 50 * 50 * (128 * 256 + 256 * 256 + 256 * 256 +
+                               256 * 128))
+    assert flops == pytest.approx(pfn + seg)
+    assert 17e9 < flops < 19e9   # the ~17.8 GFLOP headline
+    assert train_flops_per_scan(cfg) == pytest.approx(3 * flops)
+
+    bts = min_hbm_bytes_per_scan(cfg)
+    assert bts["total"] == bts["frontend"] + bts["segnet"] + bts["postproc"]
+    assert 20e6 < bts["total"] < 80e6   # tens of MB/scan
+
+    acc = perf_accounting(cfg, hz=1000.0, device_kind="TPU v5 lite")
+    assert acc["mfu_pct"] == pytest.approx(
+        100 * 1000 * flops / 197e12, rel=1e-3)
+    assert acc["achieved_gbps"] == pytest.approx(
+        1000 * bts["total"] / 1e9, rel=1e-2)
+    assert acc["chip"] == "TPU v5 lite"
