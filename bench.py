@@ -520,26 +520,41 @@ def main():
                     help="fused frontend implementation override")
     ap.add_argument("--watchdog", type=float,
                     default=float(os.environ.get("BENCH_WATCHDOG_S", 1800)),
-                    help="hard wall-clock limit in seconds; the axon relay "
-                         "can hang indefinitely (even jax.devices() blocks "
-                         "when it is down) and a silent forever-hang is "
-                         "worse than a loud failure.  Generous default: "
+                    help="hard wall-clock limit PER MODE in seconds, re-armed "
+                         "before each mode of an --mode all sweep; the axon "
+                         "relay can hang indefinitely (even jax.devices() "
+                         "blocks when it is down) and a silent forever-hang "
+                         "is worse than a loud failure.  Generous default: "
                          "first compile after boot is 75-160 s per program "
+                         "(worse under relay load — a 5-mode sweep has been "
+                         "seen to spend 20+ min in its FIRST mode's compiles) "
                          "and accuracy mode trains ~140 s on top.")
     args = ap.parse_args()
 
+    # per-mode watchdog: each completed mode proves the relay is alive, so
+    # the timer re-arms on every rearm_watchdog() call rather than capping
+    # the cumulative sweep (an --mode all run under heavy relay weather
+    # previously hit the global cap AFTER four successful modes)
+    rearm_watchdog = lambda: None
     if args.watchdog > 0:
         import threading
 
+        timer_box = [None]
+
         def _expire():
             print(f"bench.py watchdog: no result after {args.watchdog:.0f}s "
-                  "(TPU relay down or compile hung) — aborting",
+                  "in one mode (TPU relay down or compile hung) — aborting",
                   file=sys.stderr, flush=True)
             os._exit(3)
 
-        t = threading.Timer(args.watchdog, _expire)
-        t.daemon = True
-        t.start()
+        def rearm_watchdog():
+            if timer_box[0] is not None:
+                timer_box[0].cancel()
+            timer_box[0] = threading.Timer(args.watchdog, _expire)
+            timer_box[0].daemon = True
+            timer_box[0].start()
+
+        rearm_watchdog()
 
     from gndnet_tpu.config import load_config
     from gndnet_tpu.models.gndnet import init_model
@@ -574,6 +589,7 @@ def main():
                   + (["accuracy"] if args.config == "kitti_sem" else []))
     rc = 0
     for mode in modes:
+        rearm_watchdog()
         extra = {}
         if mode == "accuracy":
             # training-quality gate, not a rate: lower is better

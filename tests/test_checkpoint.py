@@ -91,6 +91,7 @@ def test_load_torch_pth_tar(tmp_path, rng):
     tree_equal(loaded2["variables"]["params"], variables["params"])
 
 
+@pytest.mark.slow
 def test_train_state_checkpoint_roundtrip(tmp_path):
     """The full TrainState (incl. optimizer pytree) survives save/restore."""
     from gndnet_tpu.train import create_train_state

@@ -54,6 +54,7 @@ def test_odd_grid_forward_and_train(rng):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_odd_grid_segnet_matches_torch(rng):
     """The odd-size pool/unpool path through the full SegNet vs torch."""
     from gndnet_tpu.checkpoint import export_torch_state_dict

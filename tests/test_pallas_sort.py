@@ -22,7 +22,8 @@ def rng():
     return np.random.default_rng(0)
 
 
-@pytest.mark.parametrize("n", [256, 1024, 8192])
+@pytest.mark.parametrize(
+    "n", [256, 1024, pytest.param(8192, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("static", [True, False])
 def test_bitonic_matches_npsort(rng, n, static):
     x = rng.integers(-2**31, 2**31 - 1, n).astype(np.int32)
@@ -55,7 +56,8 @@ def test_schedule_shape():
     assert int(s[-1, 0]) == 1024           # full-array ascending block
 
 
-@pytest.mark.parametrize("n", [256, 2048])
+@pytest.mark.parametrize(
+    "n", [256, pytest.param(2048, marks=pytest.mark.slow)])
 @pytest.mark.parametrize("static", [True, False])
 def test_bitonic2_matches_lexsort(rng, n, static):
     """(hi, lo) lexicographic sort == np.lexsort; duplicate-heavy hi with
@@ -70,6 +72,7 @@ def test_bitonic2_matches_lexsort(rng, n, static):
     np.testing.assert_array_equal(np.asarray(lo_s), lo[order])
 
 
+@pytest.mark.slow
 def test_bitonic2_extremes(rng):
     """hi spanning the full int32 range (incl. the INT32_MAX padding
     sentinel value appearing among REAL keys) still sorts correctly."""
@@ -87,6 +90,7 @@ def test_bitonic2_extremes(rng):
     np.testing.assert_array_equal(np.asarray(lo_s), lo[order])
 
 
+@pytest.mark.slow
 def test_sort2_padded_non_pow2(rng):
     """Padded entry point at the call-site key structure: hi = cell id in
     [0, 62501] (fine_grid's range), lo = stream iota, non-pow2 n.  Must

@@ -279,6 +279,7 @@ def test_sorted_frontend_matches_scatter_frontend(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sorted_impl_through_model(rng):
     """GroundEstimatorNet with fused_impl='sorted' == 'scatter' end to end."""
     from gndnet_tpu.config import GndNetConfig
@@ -375,6 +376,7 @@ def test_affine_vjp_duplicate_ties_match_autodiff(rng):
                                rtol=0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_affine_vjp_bf16_packed_argmax():
     """The bf16 training VJP uses the PACKED argmax scan (mono16(value)
     << 12 | inverted rank in one i32 key, plain max scan): its forward
@@ -591,6 +593,7 @@ def test_affine_pallas_histogram_ends(rng, use_pallas):
                                       ref_ends[occupied])
 
 
+@pytest.mark.slow
 def test_affine_large_grid_uses_pallas_histogram(rng):
     """A >16384-cell geometry at B=1 routes histogram_ends through the
     in-VMEM pallas counts kernel (the fine_grid dispatch heuristic in
