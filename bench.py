@@ -486,8 +486,12 @@ def main():
                     choices=["device", "e2e", "single", "batched", "train",
                              "stream", "accuracy", "replay", "all"])
     ap.add_argument("--batch", type=int, default=16,
-                    help="batched/train modes: scans per batch (sweep this "
-                         "to find the per-config throughput knee)")
+                    help="batched/train modes: scans per batch.  The round-5 "
+                         "sweep measured the per-scan throughput knee at B=8 "
+                         "in every mode and config, with larger batches "
+                         "LOSING (docs/KERNELS.md 'Roofline & MFU'); the "
+                         "default stays 16 = the reference's largest shipped "
+                         "batch geometry")
     ap.add_argument("--target_hz", type=float, default=55.0,
                     help="replay mode: paced sensor submit rate")
     ap.add_argument("--iters", type=int, default=100)
